@@ -1,0 +1,124 @@
+"""Spherical convolutions: grid-resample to (3H, 3W) + stride-3 conv.
+
+Behavioral parity targets (reference file:line):
+  * SS sphere styled conv: models/spgan_ops_gs.py:ModulatedConv2d.forward
+    deal_coords path (:756-816) — grid-sample input AND raw coords with the
+    straight-through sampler, re-encode coords (tanh/cos/sin), concat, then a
+    per-sample modulated conv with stride == kernel_size.  Weight is
+    identity-initialized (center tap 1 for every in/out pair, :374-383).
+  * TS skip sphere conv: models/spherenet/sphere_conv2d.py:
+    SphereConvBatchDiffFixBorderGNoGrad (:124-205) — plain (non-modulated)
+    conv, identity init, weight scaled by 1/sqrt(fan_in), default-init bias,
+    LeakyReLU(0.01).
+
+TPU-native notes: sampling input+coords is ONE fused gather over the
+concatenated channels (sampling is channel-wise, so sample(concat) ==
+concat(sample)); encoding happens after sampling exactly as the reference
+does.  Grids come from the vectorized generator (sphere_grid.py) — in-graph,
+never on the host.
+"""
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from spgan_tpu.geometry.coords import CoordsPartial, encode_coords
+from spgan_tpu.geometry.sphere_grid import sphere_patch_grid_batch
+from spgan_tpu.ops.grid_sample import st_grid_sample_3x3
+from spgan_tpu.ops.modulated import ModulatedConv2d
+
+
+def _conv_stride_k(x, w, k):
+    return jax.lax.conv_general_dilated(
+        x, w, window_strides=(k, k), padding=[(0, 0), (0, 0)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+
+
+@dataclass(frozen=True)
+class SphereStyledConv:
+    """The SS "SphereConditionalBlock" conv: deal_coords modulated sphere conv.
+
+    in_ch counts the coord channels (local_dim + coord_dim), matching the
+    reference where the identity-init weight and the modulation span the
+    concatenated channels (models/spgan/spgan.py:135-154)."""
+
+    local_dim: int
+    coord_dim: int
+    out_ch: int
+    style_dim: int
+    kernel_size: int = 3
+
+    @property
+    def in_ch(self) -> int:
+        return self.local_dim + self.coord_dim
+
+    def conv_spec(self) -> ModulatedConv2d:
+        return ModulatedConv2d(
+            in_ch=self.in_ch, out_ch=self.out_ch,
+            kernel_size=self.kernel_size, style_dim=self.style_dim,
+            demodulate=True, no_zero_pad=True, identity_init=True)
+
+    def init(self, key: jax.Array) -> dict:
+        return {"conv": self.conv_spec().init(key)}
+
+    def apply(self, params: dict, x: jnp.ndarray, style: jnp.ndarray,
+              coords: jnp.ndarray, cp: CoordsPartial,
+              grid: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        """x: (B,H,W,local_dim); coords: (B,H,W,coord_dim) RAW indices;
+        style: (B,style_dim). Output: (B,H,W,out_ch) — size preserving
+        (stride == kernel over the k-times-resampled map)."""
+        b, h, w, _ = x.shape
+        k = self.kernel_size
+        if grid is None:
+            grid = sphere_patch_grid_batch(cp, h, w, k)
+        spec = self.conv_spec()
+
+        both = jnp.concatenate([x, coords.astype(x.dtype)], axis=-1)
+        sampled = st_grid_sample_3x3(both, grid)  # (B,3H,3W,in_ch)
+        s_x = sampled[..., :self.local_dim]
+        s_c = encode_coords(sampled[..., self.local_dim:], self.coord_dim)
+        sampled = jnp.concatenate([s_x, s_c.astype(x.dtype)], axis=-1)
+
+        s = spec.style_scale(params["conv"], style)  # (B,in_ch)
+        wt = params["conv"]["weight"].astype(x.dtype) * spec.scale
+        demod = spec.demod_factors(params["conv"], s).astype(x.dtype)
+        y = _conv_stride_k(sampled * s[:, None, None, :].astype(x.dtype), wt, k)
+        return y * demod[:, None, None, :]
+
+
+@dataclass(frozen=True)
+class SphereSkipConv:
+    """TS skip-path sphere conv (RGB 3->3), identity init, LeakyReLU(0.01)."""
+
+    in_ch: int = 3
+    out_ch: int = 3
+    kernel_size: int = 3
+
+    @property
+    def scale(self) -> float:
+        return 1.0 / math.sqrt(self.in_ch * self.kernel_size ** 2)
+
+    def init(self, key: jax.Array) -> dict:
+        k = self.kernel_size
+        w = jnp.zeros((k, k, self.in_ch, self.out_ch), jnp.float32)
+        w = w.at[k // 2, k // 2, :, :].set(1.0)
+        bound = 1.0 / math.sqrt(self.in_ch * k * k)
+        b = jax.random.uniform(key, (self.out_ch,), jnp.float32, -bound, bound)
+        return {"weight": w, "bias": b}
+
+    def apply(self, params: dict, x: jnp.ndarray, cp: CoordsPartial,
+              grid: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        b, h, w, _ = x.shape
+        k = self.kernel_size
+        if grid is None:
+            grid = sphere_patch_grid_batch(cp, h, w, k)
+        sampled = st_grid_sample_3x3(x, grid)
+        y = _conv_stride_k(
+            sampled, params["weight"].astype(x.dtype) * self.scale, k)
+        y = y + params["bias"].astype(x.dtype)
+        return jax.nn.leaky_relu(y, 0.01)

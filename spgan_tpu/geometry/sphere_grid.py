@@ -1,0 +1,146 @@
+"""Vectorized gnomonic (spherical) sampling-grid generation.
+
+Replaces the reference's per-sample, per-layer CPU numpy grid construction
+(models/spherenet/grid_generator.py:GridGeneratorPatchCoordsFixBorder.
+createSamplingPattern, lines 138-283) with pure jnp math that runs in-graph,
+vmaps over the batch, and is computed once per jit trace.  This removes the
+reference's #1 performance sin: rebuilding numpy grids on the host for every
+sample of every sphere conv of every step.
+
+Math parity (reference line refs):
+  * kernel offsets (grid_generator.py:303-324):
+        kerX = tan(dx * dlon),  kerY = tan(dy * dlat) / cos(dy * dlon)
+    with dlat = pi / x_total, dlon = 2*pi / y_total.
+  * inverse gnomonic lat/lon per output pixel (:248-270).
+  * patch angular ranges — the "linspace" branch (:222-246), which is the one
+    exercised both in training (per-sample random crops) and by the shipped
+    close-loop test manager (close_loop_infinite_generation.py:245-261; the
+    full_shape/pre_sample branches are dead in the shipped configs).
+  * min-max normalization + center-relative pattern trick (:326-352).
+  * NOTE (faithful quirk): in training the reference hardcodes partial=0.8
+    (grid_generator.py:164) and only honors the configured partial (0.6667)
+    when test_flag is set (:166-167).  `grid_partial` must therefore be 0.8
+    for training grids and config.partial for test grids.
+
+Output convention: grid[..., 0] = gx (width/longitude), grid[..., 1] = gy
+(height/latitude), both in [-1, 1] for align_corners=True sampling over the
+patch itself — matching genSamplingPattern's normalization
+(models/spgan_ops_gs.py:410-428).
+"""
+from __future__ import annotations
+
+from functools import partial as _partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+TWO_PI = 2.0 * np.pi
+
+
+def _kernel_offsets(k: int, x_total: int, y_total: int):
+    """Static (numpy) gnomonic kernel-tap offsets; k odd."""
+    dlat = np.pi / x_total
+    dlon = TWO_PI / y_total
+    rng = np.arange(-(k // 2), k // 2 + 1, dtype=np.float64)
+    kx1 = np.tan(rng * dlon)
+    ky1 = np.tan(rng * dlat) / np.cos(rng * dlon)
+    ker_x, ker_y = np.meshgrid(kx1, ky1)  # (k,k): ker_x varies on axis 1
+    rho = np.sqrt(ker_x ** 2 + ker_y ** 2)
+    rho[k // 2, k // 2] = 1e-8
+    nu = np.arctan(rho)
+    return ker_x, ker_y, rho, nu
+
+
+def _min_max_norm(v: jnp.ndarray) -> jnp.ndarray:
+    lo = jnp.min(v)
+    hi = jnp.max(v)
+    return (v - lo) / (hi - lo) * 2.0 - 1.0
+
+
+@_partial(jax.jit, static_argnames=("h", "w", "k", "x_total", "y_total"))
+def sphere_patch_grid(p_x_st, p_x_ed, p_y_st, p_y_ed, circular,
+                      grid_partial, *, h: int, w: int, k: int,
+                      x_total: int, y_total: int) -> jnp.ndarray:
+    """Sampling grid for one patch: returns (h*k, w*k, 2) in [-1, 1].
+
+    p_* are scalar crop fractions (traced ok); `circular` is a bool/0-1 scalar;
+    `grid_partial` is the vertical-extent fraction the *grid generator* uses
+    (0.8 for training grids, config.partial for test grids — see module doc).
+    """
+    dtype = jnp.float64 if jax.config.read("jax_enable_x64") else jnp.float32
+    ker_x, ker_y, rho, nu = _kernel_offsets(k, x_total, y_total)
+    ker_x = jnp.asarray(ker_x, dtype)
+    ker_y = jnp.asarray(ker_y, dtype)
+    rho = jnp.asarray(rho, dtype)
+    cos_nu = jnp.asarray(np.cos(nu), dtype)
+    sin_nu = jnp.asarray(np.sin(nu), dtype)
+
+    circular = jnp.asarray(circular, dtype)
+    x_st = jnp.asarray(p_x_st, dtype) * np.pi * grid_partial
+    x_ed = jnp.asarray(p_x_ed, dtype) * np.pi * grid_partial
+    y_st = jnp.asarray(p_y_st, dtype) * TWO_PI
+    y_ed_raw = jnp.asarray(p_y_ed, dtype) * TWO_PI
+    # reference grid_generator.py:228-231: wrap y_ed unless it lands exactly
+    # on 2*pi; then the circular flag extends it by a full turn (:241).
+    y_ed = jnp.where(jnp.abs(y_ed_raw - TWO_PI) < 1e-9,
+                     y_ed_raw, jnp.mod(y_ed_raw, TWO_PI))
+    y_ed = y_ed + circular * TWO_PI
+
+    lat_range = jnp.linspace(x_st, x_ed, h) - (np.pi / 2.0) * grid_partial
+    lon_range = jnp.linspace(y_st, y_ed, w) - np.pi
+
+    sin_lat = jnp.sin(lat_range)[:, None, None]
+    cos_lat = jnp.cos(lat_range)[:, None, None]
+
+    lat = jnp.arcsin(cos_nu * sin_lat + ker_y * sin_nu * cos_lat / rho)  # (h,k,k)
+    pattern = lat - lat[:, k // 2, k // 2][:, None, None]
+    lat_norm = _min_max_norm(lat_range)[:, None, None] + pattern  # (h,k,k)
+
+    lon_off = jnp.arctan(
+        ker_x * sin_nu / (rho * cos_lat * cos_nu - ker_y * sin_lat * sin_nu)
+    )  # (h,k,k)
+    lon_norm = lon_off[:, None] + _min_max_norm(lon_range)[None, :, None, None]
+    # lon_norm: (h, w, k, k)
+
+    lat_full = jnp.broadcast_to(lat_norm[:, None], (h, w, k, k))
+    # reorder to (h, kh, w, kw) and flatten -> (h*k, w*k)
+    gy = lat_full.transpose(0, 2, 1, 3).reshape(h * k, w * k)
+    gx = lon_norm.transpose(0, 2, 1, 3).reshape(h * k, w * k)
+    return jnp.stack([gx, gy], axis=-1).astype(jnp.float32)
+
+
+def sphere_patch_grid_batch(cp, h: int, w: int, k: int = 3) -> jnp.ndarray:
+    """Batched grids from a CoordsPartial struct-of-arrays: (B, h*k, w*k, 2)."""
+    fn = lambda a, b, c, d, e: sphere_patch_grid(
+        a, b, c, d, e, cp.grid_partial,
+        h=h, w=w, k=k, x_total=cp.x_total, y_total=cp.y_total)
+    return jax.vmap(fn)(cp.p_x_st, cp.p_x_ed, cp.p_y_st, cp.p_y_ed,
+                        cp.circular.astype(jnp.float32))
+
+
+def global_sphere_pattern(h: int, w: int, k: int, stride: int = 1) -> np.ndarray:
+    """Global equirectangular gnomonic pattern in *pixel index* units,
+    (1, H*Kh, W*Kw, 2) with channel order (lat, lon) — parity with the
+    reference's GridGenerator.createSamplingPattern
+    (grid_generator.py:28-85). Pure numpy (precompute-once)."""
+    ker_x, ker_y, rho, nu = _kernel_offsets(k, h, w)
+    cos_nu, sin_nu = np.cos(nu), np.sin(nu)
+    h_range = np.arange(0, h, stride)
+    w_range = np.arange(0, w, stride)
+    lat_range = ((h_range / h) - 0.5) * np.pi
+    lon_range = ((w_range / w) - 0.5) * TWO_PI
+
+    sin_lat = np.sin(lat_range)[:, None, None]
+    cos_lat = np.cos(lat_range)[:, None, None]
+    lat = np.arcsin(cos_nu * sin_lat + ker_y * sin_nu * cos_lat / rho)
+    lon = np.arctan(ker_x * sin_nu /
+                    (rho * cos_lat * cos_nu - ker_y * sin_lat * sin_nu))
+    lat = lat[:, None] + np.zeros((1, len(lon_range), 1, 1))
+    lon = lon[:, None] + lon_range[None, :, None, None]
+    lat = (lat / np.pi + 0.5) * h
+    lon = ((lon / TWO_PI + 0.5) * w) % w
+    latlon = np.stack([lat, lon], axis=-1)  # (H, W, k, k, 2)
+    latlon = latlon.transpose(0, 2, 1, 3, 4)  # (H, kh, W, kw, 2)
+    oh, ow = latlon.shape[0] * k, latlon.shape[2] * k
+    return latlon.reshape(1, oh, ow, 2)
