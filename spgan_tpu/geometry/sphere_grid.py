@@ -93,7 +93,10 @@ def sphere_patch_grid(p_x_st, p_x_ed, p_y_st, p_y_ed, circular,
     sin_lat = jnp.sin(lat_range)[:, None, None]
     cos_lat = jnp.cos(lat_range)[:, None, None]
 
-    lat = jnp.arcsin(cos_nu * sin_lat + ker_y * sin_nu * cos_lat / rho)  # (h,k,k)
+    # clip: the argument is analytically in [-1,1] but f32 rounding can
+    # overshoot, which would give NaN latitudes
+    lat = jnp.arcsin(jnp.clip(
+        cos_nu * sin_lat + ker_y * sin_nu * cos_lat / rho, -1.0, 1.0))  # (h,k,k)
     pattern = lat - lat[:, k // 2, k // 2][:, None, None]
     lat_norm = _min_max_norm(lat_range)[:, None, None] + pattern  # (h,k,k)
 

@@ -1,0 +1,439 @@
+"""The SP-GAN generator: structure synthesizer (spherical GNN-style refiner)
++ texture synthesizer (no-padding StyleGAN2 chain with spherical skip convs).
+
+Behavioral parity targets (reference models/spgan/spgan.py):
+  * SphereConditionalBlock  :122-169  (sphere styled conv k3, residual 1x1)
+  * ConditionalBlock        :79-119   (planar styled conv k7, coords each layer)
+  * ImplicitFunction        :172-254  (4x [sphere, planar], center-cropped
+                                       coords per layer)
+  * StructureSynthesizer    :257-379  (coord sampling, diversity loss)
+  * TextureSynthesizer      :382-1160 (mapping MLP, hardcoded conv specs per
+                                       output res, skip/ToRGB graph, sphere
+                                       skip convs at i in {3,5,7}/{3,5,7,9})
+  * InfinityGanGenerator    :1163-1443
+
+TPU-native design notes:
+  * Pure-functional: specs hold static config, params are pytrees; the whole
+    forward jits once (NHWC, MXU convs, in-graph sphere grids).
+  * Coordinate sampling / latent sampling / style-mixing randomness are all
+    explicit `jax.random` keys (no hidden state, reproducible under pjit).
+  * The reference's per-layer python dict plumbing (DictTensor) becomes a
+    plain dict of arrays returned from one jitted call.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field as dfield
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from spgan_tpu.config import Config
+from spgan_tpu.geometry.coords import CoordGrid, CoordsPartial, encode_coords
+from spgan_tpu.geometry.sphere_conv import SphereSkipConv, SphereStyledConv
+from spgan_tpu.geometry.sphere_grid import sphere_patch_grid_batch
+from spgan_tpu.ops.linear import EqualLinear, pixel_norm
+from spgan_tpu.ops.modulated import ModulatedConv2d, StyledConv, ToRGB
+from spgan_tpu.ops.spatial import ConvSpec, derive_stitch_geometry
+
+
+# ----------------------------------------------------------------------
+# helpers
+# ----------------------------------------------------------------------
+
+def pair_inputs(x: jnp.ndarray) -> jnp.ndarray:
+    """[A,B,C,D] -> [A,A,C,C] (reference setup_paired_inputs, spgan.py:50-63).
+    Assumes even batch (the shipped batch is 16)."""
+    b = x.shape[0]
+    assert b % 2 == 0, "dual-latent diversity loss expects an even batch"
+    return jnp.repeat(x[0::2], 2, axis=0)
+
+
+def angular_similarity(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """(reference spgan.py:71-76)"""
+    a = a.reshape(a.shape[0], -1)
+    b = b.reshape(b.shape[0], -1)
+    denom = jnp.linalg.norm(a, axis=1) * jnp.linalg.norm(b, axis=1)
+    cos = jnp.sum(a * b, axis=1) / denom
+    cos = jnp.clip(cos, -1.0, 1.0)
+    return 1.0 - jnp.arccos(cos) / np.pi
+
+
+def _center_crop(x: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
+    ph = (x.shape[1] - h) // 2
+    pw = (x.shape[2] - w) // 2
+    return x[:, ph:ph + h, pw:pw + w, :]
+
+
+def _plain_conv1x1_init(key, in_ch, out_ch):
+    """torch nn.Conv2d default init (kaiming uniform a=sqrt(5)): the SS
+    residual projection `sc` is a plain conv (spgan.py:142)."""
+    bound = 1.0 / np.sqrt(in_ch)
+    kw, kb = jax.random.split(key)
+    return {
+        "weight": jax.random.uniform(kw, (1, 1, in_ch, out_ch), jnp.float32,
+                                     -bound, bound),
+        "bias": jax.random.uniform(kb, (out_ch,), jnp.float32, -bound, bound),
+    }
+
+
+def _plain_conv1x1(params, x):
+    y = jax.lax.conv_general_dilated(
+        x, params["weight"].astype(x.dtype), (1, 1), [(0, 0), (0, 0)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    return y + params["bias"].astype(x.dtype)
+
+
+# ----------------------------------------------------------------------
+# Structure synthesizer
+# ----------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class StructureSynthesizer:
+    local_dim: int = 256
+    global_dim: int = 512
+    coord_dim: int = 3
+    n_layers: int = 4
+    unfold_radius: int = 3
+    use_angular_div: bool = True
+    coord_grid: CoordGrid = dfield(default_factory=CoordGrid)
+
+    @property
+    def unfold_size(self) -> int:
+        return self.n_layers * self.unfold_radius
+
+    def sphere_spec(self) -> SphereStyledConv:
+        return SphereStyledConv(
+            local_dim=self.local_dim, coord_dim=self.coord_dim,
+            out_ch=self.local_dim, style_dim=self.global_dim)
+
+    def planar_spec(self) -> StyledConv:
+        k = self.unfold_radius * 2 + 1
+        return StyledConv(
+            conv=ModulatedConv2d(
+                in_ch=self.local_dim + self.coord_dim, out_ch=self.local_dim,
+                kernel_size=k, style_dim=self.global_dim, demodulate=True,
+                no_zero_pad=True),
+            disable_noise=True, activation="fused_lrelu")
+
+    def init(self, key: jax.Array) -> dict:
+        blocks = []
+        for i in range(self.n_layers):
+            ks, kc, kp = jax.random.split(jax.random.fold_in(key, i), 3)
+            blocks.append({
+                "sphere": self.sphere_spec().init(ks),
+                "sc": _plain_conv1x1_init(kc, self.local_dim, self.local_dim),
+                "planar": self.planar_spec().init(kp),
+            })
+        return {"blocks": blocks}
+
+    def layer_sizes(self, in_size: int) -> List[int]:
+        """Feature size at each sphere conv (sphere convs preserve size, the
+        k=7 planar convs shrink by 2*unfold_radius)."""
+        sizes = []
+        h = in_size
+        for _ in range(self.n_layers):
+            sizes.append(h)
+            h -= 2 * self.unfold_radius
+        return sizes
+
+    def apply(self, params: dict, global_z: jnp.ndarray,
+              local_latent: jnp.ndarray, coords: jnp.ndarray,
+              cp: CoordsPartial,
+              grids: Optional[Sequence[jnp.ndarray]] = None) -> jnp.ndarray:
+        """global_z: (B, global_dim) RAW z (ss_mapping is off in the shipped
+        config — the SS styled convs are modulated by unmapped z,
+        spgan.py:1342-1343); local_latent: (B,S,S,local_dim);
+        coords: (B,S,S,coord_dim) raw indices."""
+        h = local_latent
+        sphere = self.sphere_spec()
+        planar = self.planar_spec()
+        for i, blk in enumerate(params["blocks"]):
+            hh, hw = h.shape[1], h.shape[2]
+            c = _center_crop(coords, hh, hw)
+            grid = None if grids is None else grids[i]
+            y = sphere.apply(blk["sphere"], h, global_z, c, cp, grid=grid)
+            y = jax.nn.leaky_relu(y, 0.01)  # LeakyReLU_n (gs StyledConv)
+            h = y + _plain_conv1x1(blk["sc"], h)
+            c = _center_crop(coords, h.shape[1], h.shape[2])
+            enc = encode_coords(c, self.coord_dim).astype(h.dtype)
+            h = planar.apply(blk["planar"], jnp.concatenate([h, enc], -1),
+                             global_z)
+        return h
+
+    # --- mode-seeking diversity loss (spgan.py:285-315) ----------------
+    def diversity_z_loss(self, local_latent, structure_latent, eps=1e-5):
+        def dist(v):
+            if self.use_angular_div:
+                return angular_similarity(v[0::2], v[1::2]).mean()
+            return jnp.abs(v[0::2] - v[1::2]).mean()
+
+        z_dist = dist(local_latent)
+        x_dist = dist(structure_latent)
+        return 1.0 / (x_dist / z_dist + eps)
+
+
+# ----------------------------------------------------------------------
+# Texture synthesizer
+# ----------------------------------------------------------------------
+
+def ts_conv_plan(out_res: int, ts_input_size: int, channel_multiplier: int
+                 ) -> Tuple[List[dict], List[dict], Dict[int, int]]:
+    """conv specs / to-rgb specs / sphere-skip map per output resolution
+    (reference spgan.py:433-697)."""
+    cm = channel_multiplier
+    if ts_input_size == 11:
+        base = [512, 512, 512, 512, 512, 512, 256 * cm, 256 * cm]
+        ext = [128 * cm, 64 * cm, 32 * cm, 16 * cm]
+        res_to_layers = {101: 8, 197: 10, 389: 12, 773: 14, 1541: 16}
+        if out_res not in res_to_layers:
+            raise NotImplementedError(f"no arch for out_res={out_res}")
+        n = res_to_layers[out_res]
+        chans = list(base)
+        for i in range((n - 8) // 2):
+            chans += [ext[i], ext[i]]
+        convs = [dict(out_ch=c, upsample=(i % 2 == 0))
+                 for i, c in enumerate(chans[:n])]
+        to_rgbs = [dict(src=s, tgt=s + 2, upsample=True)
+                   for s in range(1, n - 2, 2)]
+        to_rgbs.append(dict(src=n - 1, tgt=n, upsample=True))
+        if out_res == 101:
+            i2j = {3: 0, 5: 1, 7: 2}
+        elif out_res == 197:
+            i2j = {3: 0, 5: 1, 7: 2, 9: 3}
+        else:
+            i2j = {}  # reference raises; larger res have no sphere skips
+        return convs, to_rgbs, i2j
+    if ts_input_size == 4:  # styleGAN2 baseline (spgan.py:608-662)
+        n = {128: 10, 64: 8}[out_res]
+        chans = [512] * 8 + [256 * cm] * 2
+        convs = [dict(out_ch=c, upsample=(i % 2 == 0))
+                 for i, c in enumerate(chans[:n])]
+        to_rgbs = [dict(src=s, tgt=s + 2, upsample=True)
+                   for s in range(1, n - 2, 2)]
+        to_rgbs.append(dict(src=n - 1, tgt=n, upsample=True))
+        return convs, to_rgbs, {}
+    raise NotImplementedError(f"ts_input_size={ts_input_size}")
+
+
+@dataclass(frozen=True)
+class TextureSynthesizer:
+    out_res: int = 101
+    ts_input_size: int = 11
+    local_dim: int = 256
+    global_dim: int = 512
+    n_mlp: int = 8
+    channel_multiplier: int = 2
+    no_zero_pad: bool = True
+    blur_kernel: Tuple[float, ...] = (1.0, 2.0, 1.0)
+
+    def plan(self):
+        return ts_conv_plan(self.out_res, self.ts_input_size,
+                            self.channel_multiplier)
+
+    @property
+    def num_layers(self) -> int:
+        return len(self.plan()[0])
+
+    @property
+    def n_latent(self) -> int:
+        return self.num_layers + 1
+
+    def conv_specs_spatial(self) -> List[ConvSpec]:
+        return [ConvSpec(upsample=c["upsample"],
+                         blur_len=len(self.blur_kernel))
+                for c in self.plan()[0]]
+
+    def stitch_geometry(self):
+        return derive_stitch_geometry(self.conv_specs_spatial(),
+                                      self.ts_input_size)
+
+    def mapping_spec(self) -> EqualLinear:
+        return EqualLinear(self.global_dim, self.global_dim, lr_mul=0.01,
+                           activation="fused_lrelu")
+
+    def _styled_convs(self) -> List[StyledConv]:
+        convs, _, _ = self.plan()
+        specs = []
+        in_ch = self.local_dim
+        for c in convs:
+            specs.append(StyledConv(
+                conv=ModulatedConv2d(
+                    in_ch=in_ch, out_ch=c["out_ch"], kernel_size=3,
+                    style_dim=self.global_dim, demodulate=True,
+                    upsample=c["upsample"], blur_kernel=self.blur_kernel,
+                    no_zero_pad=self.no_zero_pad)))
+            in_ch = c["out_ch"]
+        return specs
+
+    def _to_rgbs(self) -> List[ToRGB]:
+        convs, to_rgbs, _ = self.plan()
+        return [ToRGB(in_ch=convs[t["src"]]["out_ch"],
+                      style_dim=self.global_dim, upsample=True,
+                      blur_kernel=self.blur_kernel,
+                      no_zero_pad=self.no_zero_pad)
+                for t in to_rgbs]
+
+    def init(self, key: jax.Array) -> dict:
+        k_map, k_conv, k_rgb, k_sp = jax.random.split(key, 4)
+        mapping = [self.mapping_spec().init(jax.random.fold_in(k_map, i))
+                   for i in range(self.n_mlp)]
+        convs = [s.init(jax.random.fold_in(k_conv, i))
+                 for i, s in enumerate(self._styled_convs())]
+        to_rgbs = [s.init(jax.random.fold_in(k_rgb, i))
+                   for i, s in enumerate(self._to_rgbs())]
+        _, _, i2j = self.plan()
+        sp_convs = [SphereSkipConv().init(jax.random.fold_in(k_sp, j))
+                    for j in range(len(i2j))]
+        return {"mapping": mapping, "convs": convs, "to_rgbs": to_rgbs,
+                "sp_convs": sp_convs}
+
+    def mapping(self, params: dict, z: jnp.ndarray) -> jnp.ndarray:
+        h = pixel_norm(z)
+        spec = self.mapping_spec()
+        for p in params["mapping"]:
+            h = spec.apply(p, h)
+        return h
+
+    def mean_latent(self, params: dict, key: jax.Array, n: int) -> jnp.ndarray:
+        z = jax.random.normal(key, (n, self.global_dim))
+        return self.mapping(params, z).mean(0, keepdims=True)
+
+    def synthesize(self, params: dict, structure_latent: jnp.ndarray,
+                   styles: jnp.ndarray, cp: CoordsPartial,
+                   noises: Optional[Sequence[Optional[jnp.ndarray]]] = None,
+                   rng: Optional[jax.Array] = None,
+                   skip_grids: Optional[Sequence[jnp.ndarray]] = None,
+                   return_feats: bool = False):
+        """structure_latent: (B,11,11,256); styles: (B, n_latent, 512).
+
+        The skip graph (spgan.py:918-972): conv i runs, then when i == src of
+        the pending to_rgb, the sphere skip conv (for i in i2j) transforms the
+        running RGB skip before ToRGB(h, style[tgt], skip)."""
+        convs, to_rgbs, i2j = self.plan()
+        conv_specs = self._styled_convs()
+        rgb_specs = self._to_rgbs()
+
+        h = structure_latent
+        skip = None
+        feats = {}
+        cur_rgb = 0
+        sphere_skip = SphereSkipConv()
+        for i, spec in enumerate(conv_specs):
+            noise = None if noises is None else noises[i]
+            layer_rng = None
+            if noise is None and rng is not None:
+                layer_rng = jax.random.fold_in(rng, i)
+            h = spec.apply(params["convs"][i], h, styles[:, i], noise=noise,
+                           rng=layer_rng)
+            t = to_rgbs[cur_rgb]
+            if i == t["src"]:
+                if i in i2j:
+                    grid = None if skip_grids is None else skip_grids[i2j[i]]
+                    if return_feats:
+                        feats[f"to_rgb_{i}"] = skip
+                    skip = sphere_skip.apply(params["sp_convs"][i2j[i]],
+                                             skip, cp, grid=grid)
+                    if return_feats:
+                        feats[f"sphere_to_rgb_{i}"] = skip
+                skip = rgb_specs[cur_rgb].apply(
+                    params["to_rgbs"][cur_rgb], h, styles[:, t["tgt"]], skip)
+                cur_rgb += 1
+        if return_feats:
+            return skip, feats
+        return skip
+
+
+# ----------------------------------------------------------------------
+# Full generator
+# ----------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class Generator:
+    ss: Optional[StructureSynthesizer]
+    ts: TextureSynthesizer
+    use_div_z: bool = True
+    mixing_prob: float = 0.9
+
+    @classmethod
+    def from_config(cls, cfg: Config) -> "Generator":
+        tp = cfg.train_params
+        ss = None
+        if tp.use_ss and not tp.styleGAN2_baseline:
+            ss = StructureSynthesizer(
+                local_dim=tp.local_latent_dim, global_dim=tp.global_latent_dim,
+                coord_dim=tp.coord_num_dir, n_layers=tp.ss_n_layers,
+                unfold_radius=tp.ss_unfold_radius,
+                use_angular_div=tp.diversity_angular,
+                coord_grid=CoordGrid(
+                    ts_input_size=tp.ts_input_size,
+                    ss_unfold_size=tp.ss_unfold_size,
+                    vert_sample_size=tp.coord_vert_sample_size,
+                    hori_occupy_ratio=tp.coord_hori_occupy_ratio,
+                    vert_cut_pt=tp.coord_vert_cut_pt,
+                    num_dir=tp.coord_num_dir,
+                    partial=tp.partial))
+        ts = TextureSynthesizer(
+            out_res=(tp.patch_size if tp.training_modality == "patch"
+                     else tp.full_size),
+            ts_input_size=tp.ts_input_size,
+            local_dim=tp.local_latent_dim, global_dim=tp.global_latent_dim,
+            n_mlp=tp.n_mlp, channel_multiplier=tp.channel_multiplier,
+            no_zero_pad=tp.ts_no_zero_pad,
+            blur_kernel=(1.0, 2.0, 1.0) if tp.ts_no_zero_pad
+            else (1.0, 3.0, 3.0, 1.0))
+        return cls(ss=ss, ts=ts,
+                   use_div_z=(tp.diversity_z_w != 0))
+
+    def init(self, key: jax.Array) -> dict:
+        ks, kt = jax.random.split(key)
+        params = {"ts": self.ts.init(kt)}
+        if self.ss is not None:
+            params["ss"] = self.ss.init(ks)
+        return params
+
+    # ---- style assembly (spgan.py:838-883) ----------------------------
+    def build_styles(self, params: dict, global_latent: jnp.ndarray,
+                     inject_index: Optional[jnp.ndarray]) -> jnp.ndarray:
+        """global_latent: (B, 2, D) -> (B, n_latent, D) w-space styles.
+        inject_index: traced scalar in [1, n_latent] or None (-> n_latent)."""
+        n = self.ts.n_latent
+        w1 = self.ts.mapping(params["ts"], global_latent[:, 0])
+        w2 = self.ts.mapping(params["ts"], global_latent[:, 1])
+        if inject_index is None:
+            return jnp.tile(w1[:, None], (1, n, 1))
+        idx = jnp.arange(n)[None, :, None]
+        return jnp.where(idx < inject_index, w1[:, None], w2[:, None])
+
+    def apply(self, params: dict, *,
+              global_latent: Optional[jnp.ndarray] = None,
+              local_latent: Optional[jnp.ndarray] = None,
+              structure_latent: Optional[jnp.ndarray] = None,
+              styles: Optional[jnp.ndarray] = None,
+              coords: Optional[jnp.ndarray] = None,
+              cp: Optional[CoordsPartial] = None,
+              noises=None, noise_rng: Optional[jax.Array] = None,
+              inject_index: Optional[jnp.ndarray] = None,
+              ss_grids=None, skip_grids=None,
+              compute_diversity: bool = False) -> Dict[str, jnp.ndarray]:
+        """Pure forward. Latent pairing / coord sampling / mixing-index
+        randomness happen in the training wrapper, not here."""
+        out: Dict[str, jnp.ndarray] = {}
+        if structure_latent is None:
+            assert self.ss is not None and local_latent is not None
+            structure_latent = self.ss.apply(
+                params["ss"], global_latent[:, 0], local_latent, coords, cp,
+                grids=ss_grids)
+        if styles is None:
+            styles = self.build_styles(params, global_latent, inject_index)
+        img = self.ts.synthesize(params["ts"], structure_latent, styles, cp,
+                                 noises=noises, rng=noise_rng,
+                                 skip_grids=skip_grids)
+        out["gen"] = img
+        out["structure_latent"] = structure_latent
+        out["styles"] = styles
+        if compute_diversity and self.use_div_z and local_latent is not None:
+            out["diversity_z_loss"] = self.ss.diversity_z_loss(
+                local_latent, structure_latent)
+        return out

@@ -1,0 +1,110 @@
+"""Shape/sanity tests for the generator and discriminator on a reduced config
+(fewer channels — the geometry is identical to the shipped 101-patch model)."""
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from spgan_tpu.config import Config
+from spgan_tpu.geometry.coords import CoordGrid
+from spgan_tpu.models.discriminator import Discriminator
+from spgan_tpu.models.generator import Generator, pair_inputs
+from spgan_tpu.models.latents import LatentSampler
+
+
+def small_config() -> Config:
+    cfg = Config()
+    cfg.train_params.global_latent_dim = 64
+    cfg.train_params.local_latent_dim = 32
+    cfg.train_params.channel_multiplier = 1
+    cfg.train_params.batch_size = 4
+    cfg.train_params.n_mlp = 2
+    return cfg
+
+
+@pytest.fixture(scope="module")
+def gen_setup():
+    cfg = small_config()
+    g = Generator.from_config(cfg)
+    params = g.init(jax.random.PRNGKey(0))
+    return cfg, g, params
+
+
+def _sample_inputs(cfg, g, batch=4, seed=1):
+    key = jax.random.PRNGKey(seed)
+    kg, kl, kc, kn = jax.random.split(key, 4)
+    ls = LatentSampler(global_dim=cfg.train_params.global_latent_dim,
+                       local_dim=cfg.train_params.local_latent_dim)
+    gl = ls.sample_global(kg, batch)
+    ll = ls.sample_local(kl, batch)
+    coords, ac, cp = g.ss.coord_grid.sample_training(kc, batch)
+    return gl, ll, coords, ac, cp, kn
+
+
+def test_generator_forward_shapes(gen_setup):
+    cfg, g, params = gen_setup
+    gl, ll, coords, ac, cp, kn = _sample_inputs(cfg, g)
+    assert ll.shape == (4, 35, 35, 32)
+    assert coords.shape == (4, 35, 35, 3)
+    out = g.apply(params, global_latent=gl, local_latent=ll, coords=coords,
+                  cp=cp, noise_rng=kn, compute_diversity=True)
+    assert out["gen"].shape == (4, 101, 101, 3)
+    assert out["structure_latent"].shape == (4, 11, 11, 32)
+    assert np.isfinite(np.asarray(out["gen"])).all()
+    assert np.isfinite(float(out["diversity_z_loss"]))
+    assert ac.shape == (4, 3)
+
+
+def test_generator_identity_init_structure(gen_setup):
+    """At init the sphere convs are identity-seeded resamplers: outputs must
+    be finite and structure latent non-degenerate."""
+    cfg, g, params = gen_setup
+    gl, ll, coords, ac, cp, kn = _sample_inputs(cfg, g, seed=7)
+    out = g.apply(params, global_latent=gl, local_latent=ll, coords=coords,
+                  cp=cp, noise_rng=kn)
+    sl = np.asarray(out["structure_latent"])
+    assert np.isfinite(sl).all()
+    assert sl.std() > 1e-3
+
+
+def test_style_mixing_inject_index(gen_setup):
+    cfg, g, params = gen_setup
+    gl, ll, coords, ac, cp, kn = _sample_inputs(cfg, g)
+    styles_lo = g.build_styles(params, gl, jnp.asarray(1))
+    styles_hi = g.build_styles(params, gl, None)
+    assert styles_lo.shape == (4, g.ts.n_latent,
+                               cfg.train_params.global_latent_dim)
+    # with inject_index=1 only layer 0 uses w1
+    w1 = g.ts.mapping(params["ts"], gl[:, 0])
+    np.testing.assert_allclose(np.asarray(styles_lo[:, 0]), np.asarray(w1),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(styles_hi[:, -1]), np.asarray(w1),
+                               atol=1e-6)
+
+
+def test_pair_inputs():
+    x = jnp.arange(8).reshape(4, 2).astype(jnp.float32)
+    p = np.asarray(pair_inputs(x))
+    np.testing.assert_array_equal(p[1], p[0])
+    np.testing.assert_array_equal(p[3], p[2])
+
+
+def test_discriminator_shapes():
+    d = Discriminator(patch_size=101, channel_multiplier=1, batch_size=4)
+    params = d.init(jax.random.PRNGKey(0))
+    img = jax.random.normal(jax.random.PRNGKey(1), (4, 101, 101, 3))
+    out = d.apply(params, img)
+    assert out["d_patch"].shape == (4, 1)
+    assert out["ac_coords_pred"].shape == (4, 3)
+    assert np.isfinite(np.asarray(out["d_patch"])).all()
+
+
+def test_coords_partial_training_stats():
+    cg = CoordGrid()
+    coords, ac, cp = cg.sample_training(jax.random.PRNGKey(3), 64)
+    # circular crops exist in a big batch and p ranges are sane
+    assert bool(np.asarray(cp.circular).any())
+    assert float(np.asarray(cp.p_y_ed).max()) > 1.0  # wrap windows exceed 1
+    assert float(np.asarray(cp.p_x_ed).max()) <= 1.0
+    a = np.asarray(ac)
+    assert a.min() >= -1.0001 and a.max() <= 1.0001
