@@ -1,0 +1,184 @@
+"""The jitted lattice engine shared by the infinite / close-loop managers.
+
+TPU-native replacement for the reference's per-patch python loop
+(close_loop_infinite_generation.py:170-305): ONE compiled XLA program that
+
+  1. samples latent/noise fields in-graph,
+  2. pads circular fields once (so every per-patch read is a dynamic_slice),
+  3. runs the generator over the lattice in folded batches
+     (chunk positions x batch panoramas) under lax.map,
+  4. scatters the patches into the meta image with the reference's row-major
+     overwrite order (overlaps overwrite, no blending — bit-consistency comes
+     from the shared fields and exact step algebra).
+
+The reference rebuilds numpy sphere grids on the host per patch per sphere
+conv; here grids are jnp expressions evaluated on-device inside the same
+program.
+"""
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+from typing import List, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from spgan_tpu.geometry.coords import CoordsPartial
+from spgan_tpu.infer.stitcher import LatticePlan
+from spgan_tpu.models.generator import Generator
+
+
+@dataclass
+class PanoramaEngine:
+    g: Generator
+    plan: LatticePlan
+    batch: int
+    patch_chunk: int = 4
+    grid_partial: float = 0.6667
+    compute_dtype: str = "float32"
+
+    def __post_init__(self):
+        p = self.plan.num_patches
+        if p % self.patch_chunk != 0:
+            # fall back to a divisor
+            for c in range(self.patch_chunk, 0, -1):
+                if p % c == 0:
+                    self.patch_chunk = c
+                    break
+        self._coords_field = jnp.asarray(
+            self.g.ss.coord_grid.test_field(self.plan.z_field_h,
+                                            self.plan.z_field_w))
+        self._generate = jax.jit(
+            functools.partial(self._generate_impl, return_patches=False))
+        self._generate_patches = jax.jit(
+            functools.partial(self._generate_impl, return_patches=True))
+
+    # ----------------------------------------------------------------
+    def sample_fields(self, key: jax.Array):
+        """Latent + noise fields for one batch of panoramas (host-callable,
+        also traced inside the jitted program)."""
+        plan = self.plan
+        kg, kz, kn = jax.random.split(key, 3)
+        gl = jax.random.normal(kg, (self.batch, 2, self.g.ts.global_dim))
+        gl = gl.at[:, 1].set(gl[:, 0])  # no mixing at test
+        z_field = jax.random.normal(
+            kz, (self.batch, plan.z_field_h, plan.z_field_w,
+                 self.g.ts.local_dim))
+        noises = [
+            jax.random.normal(jax.random.fold_in(kn, i),
+                              (self.batch, h, w, 1))
+            for i, (h, w) in enumerate(plan.noise_sizes)]
+        return gl, z_field, noises
+
+    # ----------------------------------------------------------------
+    def _generate_impl(self, params, gl, z_field, noises,
+                       return_patches=False):
+        plan = self.plan
+        g = self.g
+        B = self.batch
+        chunk = self.patch_chunk
+        P = plan.num_patches
+        win = plan.window
+        cdt = jnp.bfloat16 if self.compute_dtype == "bfloat16" else jnp.float32
+
+        # --- static circular padding (reads never wrap afterwards) ---
+        if plan.close_loop:
+            z_pad = jnp.concatenate([z_field, z_field[:, :, :win]], axis=2)
+            coords_pad = jnp.concatenate(
+                [self._coords_field, self._coords_field[:, :win]], axis=1)
+            noises_pad = [
+                jnp.concatenate([n, n[:, :, :osz]], axis=2)
+                for n, osz in zip(noises, plan.geom.outfeat_sizes)]
+        else:
+            z_pad, coords_pad, noises_pad = z_field, self._coords_field, noises
+
+        styles = g.build_styles(params, gl, None)  # (B, n_latent, D)
+        gz = gl[:, 0]
+
+        z_starts = jnp.asarray(plan.z_starts).reshape(P // chunk, chunk, 2)
+        n_starts = [jnp.asarray(s).reshape(P // chunk, chunk, 2)
+                    for s in plan.noise_starts]
+        cp_all = jnp.asarray(plan.cp_scalars.astype(np.float32)).reshape(
+            P // chunk, chunk, 5)
+
+        out_sizes = plan.geom.outfeat_sizes
+        patch_sz = out_sizes[-1]
+
+        def gen_chunk(args):
+            zs, ns, cps = args  # (chunk,2), [per-layer (chunk,2)], (chunk,5)
+
+            def slice_z(start):
+                r, c = start[0], start[1]
+                zw = jax.lax.dynamic_slice(
+                    z_pad, (0, r, c, 0),
+                    (B, win, win, g.ts.local_dim))
+                cw = jax.lax.dynamic_slice(
+                    coords_pad, (r, c, 0), (win, win, coords_pad.shape[-1]))
+                return zw, cw
+
+            zw, cw = jax.vmap(slice_z)(zs)           # (chunk,B,..), (chunk,..)
+            zw = zw.reshape(chunk * B, win, win, -1).astype(cdt)
+            cw = jnp.repeat(cw, B, axis=0)            # (chunk*B, win, win, 3)
+
+            layer_noises = []
+            for li, sz in enumerate(out_sizes):
+                def slice_n(start, n=noises_pad[li], s=sz):
+                    return jax.lax.dynamic_slice(
+                        n, (0, start[0], start[1], 0), (B, s, s, 1))
+                nw = jax.vmap(functools.partial(slice_n))(ns[li])
+                layer_noises.append(
+                    nw.reshape(chunk * B, sz, sz, 1).astype(cdt))
+
+            rep = jnp.repeat(cps, B, axis=0)  # (chunk*B, 5)
+            cp = CoordsPartial(
+                p_x_st=rep[:, 0], p_x_ed=rep[:, 1],
+                p_y_st=rep[:, 2], p_y_ed=rep[:, 3], circular=rep[:, 4],
+                x_total=plan.x_total, y_total=plan.y_total,
+                grid_partial=self.grid_partial, test_flag=True)
+
+            gz_t = jnp.tile(gz, (chunk, 1)).astype(cdt)
+            styles_t = jnp.tile(styles, (chunk, 1, 1)).astype(cdt)
+
+            structure = g.ss.apply(params["ss"], gz_t, zw, cw, cp)
+            img = g.ts.synthesize(params["ts"], structure, styles_t, cp,
+                                  noises=layer_noises)
+            return img.reshape(chunk, B, patch_sz, patch_sz, 3)
+
+        patches = jax.lax.map(gen_chunk, (z_starts, n_starts, cp_all))
+        patches = patches.reshape(P, B, patch_sz, patch_sz, 3)
+        patches = patches.astype(jnp.float32)
+        if return_patches:
+            return patches
+
+        # --- scatter (static, reference overwrite order) -------------
+        meta = jnp.zeros((B, plan.meta_h, plan.meta_w, 3), jnp.float32)
+        for p in range(P):
+            r, c_raw = int(plan.img_starts[p, 0]), int(plan.img_starts[p, 1])
+            patch = patches[p]
+            c = c_raw % plan.meta_w if plan.close_loop else c_raw
+            if c + patch_sz <= plan.meta_w:
+                meta = jax.lax.dynamic_update_slice(meta, patch, (0, r, c, 0))
+            else:  # wrapping write (reference _circular_assign_value_width)
+                split = plan.meta_w - c
+                meta = jax.lax.dynamic_update_slice(
+                    meta, patch[:, :, :split], (0, r, c, 0))
+                meta = jax.lax.dynamic_update_slice(
+                    meta, patch[:, :, split:], (0, r, 0, 0))
+        return meta
+
+    # ----------------------------------------------------------------
+    def generate(self, params, key: jax.Array) -> jnp.ndarray:
+        """One batch of meta images (B, meta_h, meta_w, 3)."""
+        gl, z_field, noises = self.sample_fields(key)
+        return self._generate(params, gl, z_field, noises)
+
+    def generate_from_fields(self, params, gl, z_field, noises):
+        return self._generate(params, gl, z_field, noises)
+
+    def crop_to_target(self, meta: jnp.ndarray) -> jnp.ndarray:
+        plan = self.plan
+        ph = (plan.meta_h - plan.target_h) // 2
+        pw = (plan.meta_w - plan.target_w) // 2
+        return meta[:, ph:ph + plan.target_h, pw:pw + plan.target_w]

@@ -1,0 +1,110 @@
+"""Test-manager protocol: task_specific_init / run_next / save_results / exit
+(reference test_managers/base_test_manager.py:147-159), plus the
+--speed-benchmark timing semantics (test.py:84-91: per-call wall time with
+device sync, first 10 samples discarded as warmup).
+"""
+from __future__ import annotations
+
+import os
+import time
+from dataclasses import dataclass, field
+from typing import List, Optional
+
+import numpy as np
+import jax
+
+from spgan_tpu.config import Config
+from spgan_tpu.infer.engine import PanoramaEngine
+from spgan_tpu.infer.stitcher import LatticePlan
+from spgan_tpu.models.generator import Generator
+
+
+def save_image_batch(images: np.ndarray, save_root: str, start_id: int,
+                     suffix: str = "") -> List[str]:
+    """images: (B,H,W,3) in [-1,1] -> PNG files named like the reference
+    (zero-padded global id, close_loop_infinite_generation.py:374-378)."""
+    from PIL import Image
+
+    os.makedirs(save_root, exist_ok=True)
+    paths = []
+    arr = np.clip((images + 1.0) / 2.0, 0.0, 1.0)
+    arr = (arr * 255.0 + 0.5).astype(np.uint8)
+    for i in range(arr.shape[0]):
+        p = os.path.join(save_root, f"{start_id + i:06d}{suffix}.png")
+        Image.fromarray(arr[i]).save(p)
+        paths.append(p)
+    return paths
+
+
+@dataclass
+class BaseManager:
+    g: Generator
+    params_ema: dict
+    config: Config
+    save_root: Optional[str] = None
+    cur_global_id: int = 0
+    accum_exec_times: List[float] = field(default_factory=list)
+    engine: Optional[PanoramaEngine] = None
+
+    @property
+    def plan(self) -> LatticePlan:
+        return self.engine.plan
+
+    def task_specific_init(self, seed: Optional[int] = None) -> None:
+        if self.config.task.init_index is not None:
+            self.cur_global_id = self.config.task.init_index
+
+    def _build_engine(self, close_loop: bool) -> PanoramaEngine:
+        from spgan_tpu.infer.stitcher import (build_close_loop_plan,
+                                              build_infinite_plan)
+        task = self.config.task
+        build = build_close_loop_plan if close_loop else build_infinite_plan
+        plan = build(self.g, task.height, task.width)
+        return PanoramaEngine(
+            g=self.g, plan=plan, batch=task.batch_size,
+            patch_chunk=task.patch_chunk,
+            grid_partial=self.config.train_params.partial,
+            compute_dtype=self.config.train_params.compute_dtype)
+
+    def run_next(self, key: jax.Array, save: bool = True,
+                 write_gpu_time: bool = False) -> np.ndarray:
+        t0 = time.perf_counter() if write_gpu_time else None
+        meta = self.engine.generate(self.params_ema, key)
+        if write_gpu_time:
+            meta.block_until_ready()
+            self.accum_exec_times.append(time.perf_counter() - t0)
+        out = np.asarray(self.engine.crop_to_target(meta))
+        if save and self.save_root is not None:
+            save_image_batch(out, self.save_root, self.cur_global_id)
+        self.cur_global_id += out.shape[0]
+        return out
+
+    def get_exec_time_stats(self, warmup: int = 10):
+        """Mean/std of per-call times, discarding the first `warmup` samples
+        (reference test.py:108-121)."""
+        t = np.asarray(self.accum_exec_times[warmup:] or
+                       self.accum_exec_times)
+        return float(t.mean()), float(t.std())
+
+    def exit(self) -> None:
+        return
+
+
+@dataclass
+class CloseLoopPanoramaManager(BaseManager):
+    """Seamless 360-degree panorama generation — the headline capability
+    (reference test_managers/close_loop_infinite_generation.py)."""
+
+    def task_specific_init(self, seed: Optional[int] = None) -> None:
+        super().task_specific_init(seed)
+        self.engine = self._build_engine(close_loop=True)
+
+
+@dataclass
+class InfiniteGenerationManager(BaseManager):
+    """Planar arbitrary-size generation (reference
+    test_managers/infinite_generation.py)."""
+
+    def task_specific_init(self, seed: Optional[int] = None) -> None:
+        super().task_specific_init(seed)
+        self.engine = self._build_engine(close_loop=False)

@@ -178,14 +178,21 @@ class StructureSynthesizer:
 # Texture synthesizer
 # ----------------------------------------------------------------------
 
-def ts_conv_plan(out_res: int, ts_input_size: int, channel_multiplier: int
+def ts_conv_plan(out_res: int, ts_input_size: int, channel_multiplier: int,
+                 channel_base: int = 512
                  ) -> Tuple[List[dict], List[dict], Dict[int, int]]:
     """conv specs / to-rgb specs / sphere-skip map per output resolution
-    (reference spgan.py:433-697)."""
+    (reference spgan.py:433-697).  channel_base scales every width (512 in
+    the shipped model; smaller for tests/ablations)."""
     cm = channel_multiplier
+    s = channel_base / 512.0
+
+    def c(v):
+        return max(8, int(round(v * s)))
+
     if ts_input_size == 11:
-        base = [512, 512, 512, 512, 512, 512, 256 * cm, 256 * cm]
-        ext = [128 * cm, 64 * cm, 32 * cm, 16 * cm]
+        base = [c(512)] * 6 + [c(256 * cm)] * 2
+        ext = [c(128 * cm), c(64 * cm), c(32 * cm), c(16 * cm)]
         res_to_layers = {101: 8, 197: 10, 389: 12, 773: 14, 1541: 16}
         if out_res not in res_to_layers:
             raise NotImplementedError(f"no arch for out_res={out_res}")
@@ -207,7 +214,7 @@ def ts_conv_plan(out_res: int, ts_input_size: int, channel_multiplier: int
         return convs, to_rgbs, i2j
     if ts_input_size == 4:  # styleGAN2 baseline (spgan.py:608-662)
         n = {128: 10, 64: 8}[out_res]
-        chans = [512] * 8 + [256 * cm] * 2
+        chans = [c(512)] * 8 + [c(256 * cm)] * 2
         convs = [dict(out_ch=c, upsample=(i % 2 == 0))
                  for i, c in enumerate(chans[:n])]
         to_rgbs = [dict(src=s, tgt=s + 2, upsample=True)
@@ -225,12 +232,13 @@ class TextureSynthesizer:
     global_dim: int = 512
     n_mlp: int = 8
     channel_multiplier: int = 2
+    channel_base: int = 512
     no_zero_pad: bool = True
     blur_kernel: Tuple[float, ...] = (1.0, 2.0, 1.0)
 
     def plan(self):
         return ts_conv_plan(self.out_res, self.ts_input_size,
-                            self.channel_multiplier)
+                            self.channel_multiplier, self.channel_base)
 
     @property
     def num_layers(self) -> int:

@@ -1,0 +1,192 @@
+"""The jitted GAN training step (D, R1, G, PPL, EMA in one program).
+
+Mirrors the reference hot loop (train.py:200-415):
+  1. D adversarial step (+ coordinate-AC losses)              :222-267
+  2. lazy R1 every d_reg_every steps (double grad through D)  :288-313
+  3. G adversarial step (+ AC + mode-seeking diversity)       :319-356
+  4. lazy PPL every g_reg_every steps (double grad through G) :384-401
+  5. EMA accumulate                                           :415
+
+TPU-native: the four phases compile into ONE XLA program per (do_r1, do_ppl)
+static combination; randomness (latents, crops, jitter, mixing, noise) is
+in-graph from one key; data-parallelism comes from batch sharding over the
+mesh — XLA inserts the gradient all-reduces.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from spgan_tpu.config import Config
+from spgan_tpu.models.discriminator import Discriminator
+from spgan_tpu.models.generator import Generator, pair_inputs
+from spgan_tpu.models import losses
+from spgan_tpu.models.latents import LatentSampler
+from spgan_tpu.train.state import TrainState, make_optimizers
+
+
+def make_train_step(cfg: Config, g: Generator, d: Discriminator):
+    tp = cfg.train_params
+    sampler = LatentSampler(
+        global_dim=tp.global_latent_dim, local_dim=tp.local_latent_dim,
+        ts_input_size=tp.ts_input_size, ss_unfold_size=tp.ss_unfold_size,
+        mixing=tp.mixing)
+    opt_g, opt_d = make_optimizers(cfg)
+    batch = tp.batch_size
+    n_latent = g.ts.n_latent
+
+    def sample_g_inputs(key, bsz):
+        kgl, kll, kc, kidx, kn = jax.random.split(key, 5)
+        gl = sampler.sample_global(kgl, bsz)
+        ll = sampler.sample_local(kll, bsz)
+        coords, ac, cp = g.ss.coord_grid.sample_training(kc, bsz)
+        if g.use_div_z:
+            # dual latents: global latent and coords are paired; local latent,
+            # ac labels and coords_partial are NOT (faithful to reference
+            # spgan.py:1331-1336 + :330-336)
+            gl = pair_inputs(gl)
+            coords = pair_inputs(coords)
+        inject = jax.random.randint(kidx, (), 1, n_latent)
+        return gl, ll, coords, ac, cp, inject, kn
+
+    def g_forward(params_g, key, bsz, compute_diversity=True):
+        gl, ll, coords, ac, cp, inject, kn = sample_g_inputs(key, bsz)
+        out = g.apply(params_g, global_latent=gl, local_latent=ll,
+                      coords=coords, cp=cp, noise_rng=kn,
+                      inject_index=inject, compute_diversity=compute_diversity)
+        out["ac_coords"] = ac
+        return out
+
+    ac_args = dict(vert_only=tp.coord_ac_vert_only,
+                   hori_only=tp.coord_ac_hori_only)
+
+    # ------------------------------------------------------------------
+    def step(state: TrainState, real_patch: jnp.ndarray,
+             real_ac: jnp.ndarray, key: jax.Array,
+             do_r1: bool, do_ppl: bool
+             ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
+        metrics: Dict[str, jnp.ndarray] = {}
+        k_dfake, k_gfake, k_ppl = jax.random.split(key, 3)
+
+        # ---------------- D phase ------------------------------------
+        fake = g_forward(state.params_g, k_dfake, batch,
+                         compute_diversity=False)
+        fake_img = jax.lax.stop_gradient(fake["gen"])
+        fake_ac = fake["ac_coords"]
+
+        def d_loss_fn(params_d):
+            fp = d.apply(params_d, fake_img)
+            rp = d.apply(params_d, real_patch)
+            loss = losses.d_logistic_loss(rp["d_patch"], fp["d_patch"])
+            aux = {"d_adv_loss": loss}
+            if d.use_coord_ac:
+                ac_r = losses.coord_ac_loss(rp["ac_coords_pred"], real_ac,
+                                            **ac_args)
+                ac_f = losses.coord_ac_loss(fp["ac_coords_pred"], fake_ac,
+                                            **ac_args)
+                loss = loss + (ac_r + ac_f) * tp.coord_ac_w
+                aux["d_ac_coords_real"] = ac_r
+                aux["d_ac_coords_fake"] = ac_f
+            aux["d_total_loss"] = loss
+            return loss, aux
+
+        (_, d_aux), d_grads = jax.value_and_grad(d_loss_fn, has_aux=True)(
+            state.params_d)
+        upd, opt_d_state = opt_d.update(d_grads, state.opt_d, state.params_d)
+        params_d = optax.apply_updates(state.params_d, upd)
+        metrics.update(d_aux)
+
+        # ---------------- R1 phase -----------------------------------
+        if do_r1 and tp.r1 != 0:
+            def r1_fn(params_d):
+                return losses.d_r1_penalty(d.apply, params_d, real_patch)
+
+            def r1_loss_fn(params_d):
+                r1 = r1_fn(params_d)
+                return tp.r1 / 2.0 * r1 * tp.d_reg_every, r1
+
+            (_, r1_val), r1_grads = jax.value_and_grad(
+                r1_loss_fn, has_aux=True)(params_d)
+            upd, opt_d_state = opt_d.update(r1_grads, opt_d_state, params_d)
+            params_d = optax.apply_updates(params_d, upd)
+            metrics["r1"] = r1_val
+        else:
+            metrics["r1"] = jnp.zeros(())
+
+        # ---------------- G phase ------------------------------------
+        def g_loss_fn(params_g):
+            out = g_forward(params_g, k_gfake, batch)
+            fp = d.apply(params_d, out["gen"])
+            loss = losses.g_nonsaturating_loss(fp["d_patch"])
+            aux = {"g_adv_loss": loss}
+            if d.use_coord_ac:
+                ac_f = losses.coord_ac_loss(fp["ac_coords_pred"],
+                                            out["ac_coords"], **ac_args)
+                loss = loss + ac_f * tp.coord_ac_w
+                aux["g_ac_coords_fake"] = ac_f
+            if g.use_div_z:
+                div = out["diversity_z_loss"]
+                loss = loss + div * tp.diversity_z_w
+                aux["diversity_z_loss"] = div
+            aux["g_total_loss"] = loss
+            return loss, aux
+
+        (_, g_aux), g_grads = jax.value_and_grad(g_loss_fn, has_aux=True)(
+            state.params_g)
+        upd, opt_g_state = opt_g.update(g_grads, state.opt_g, state.params_g)
+        params_g = optax.apply_updates(state.params_g, upd)
+        metrics.update(g_aux)
+
+        # ---------------- PPL phase ----------------------------------
+        mean_path = state.mean_path_length
+        if do_ppl and tp.path_regularize != 0:
+            pbsz = max(1, batch // tp.path_batch_shrink)
+
+            def ppl_loss_fn(params_g):
+                gl, ll, coords, ac, cp, inject, kn = sample_g_inputs(
+                    k_ppl, pbsz)
+                structure = g.ss.apply(params_g["ss"], gl[:, 0], ll, coords,
+                                       cp)
+                styles = g.build_styles(params_g, gl, inject)
+
+                def synth(st):
+                    return g.ts.synthesize(params_g["ts"], structure, st, cp,
+                                           rng=kn)
+
+                lengths = losses.ppl_lengths(
+                    jax.random.fold_in(k_ppl, 1), synth, styles)
+                penalty, new_mean = losses.g_path_regularize(
+                    lengths, state.mean_path_length)
+                weighted = (tp.path_regularize * tp.g_reg_every * penalty)
+                return weighted, (penalty, new_mean, lengths.mean())
+
+            (_, (path_pen, mean_path, plen)), ppl_grads = \
+                jax.value_and_grad(ppl_loss_fn, has_aux=True)(params_g)
+            upd, opt_g_state = opt_g.update(ppl_grads, opt_g_state, params_g)
+            params_g = optax.apply_updates(params_g, upd)
+            metrics["path"] = path_pen
+            metrics["path_lengths"] = plen
+        else:
+            metrics["path"] = jnp.zeros(())
+            metrics["path_lengths"] = jnp.zeros(())
+        metrics["mean_path_length"] = mean_path
+
+        # ---------------- EMA ----------------------------------------
+        from spgan_tpu.train.state import ema_update
+
+        params_g_ema = ema_update(state.params_g_ema, params_g)
+
+        new_state = TrainState(
+            step=state.step + 1,
+            params_g=params_g, params_d=params_d,
+            params_g_ema=params_g_ema,
+            opt_g=opt_g_state, opt_d=opt_d_state,
+            mean_path_length=mean_path,
+        )
+        return new_state, metrics
+
+    return functools.partial(jax.jit, static_argnames=("do_r1", "do_ppl"))(step)

@@ -1,0 +1,117 @@
+"""Lattice-plan invariants + the closed-loop seam property.
+
+The load-bearing integration test: wrap columns (j >= num_steps_w_min) read
+exactly the same latent/noise/coordinate windows as their base columns
+(j - num_steps_w_min), so their patches must be bit-identical — this is what
+makes the 360-degree panorama seamless.
+"""
+import numpy as np
+import pytest
+import jax
+
+from spgan_tpu.config import Config
+from spgan_tpu.infer.engine import PanoramaEngine
+from spgan_tpu.infer.stitcher import build_close_loop_plan, build_infinite_plan
+from spgan_tpu.models.generator import Generator
+
+
+def full_size_plan():
+    cfg = Config()  # shipped config, no params needed for the plan
+    g = Generator.from_config(cfg)
+    return build_close_loop_plan(g, 384, 768)
+
+
+def test_close_loop_plan_shipped_numbers():
+    """Reference canonical task: 384x768 close-loop pano => 6x10 lattice,
+    meta 581x768, z field 65x48 (close_loop_infinite_generation.py:428-460)."""
+    plan = full_size_plan()
+    assert plan.geom.pixelspace_step == 96
+    assert plan.geom.latentspace_step == 6
+    assert (plan.num_steps_h, plan.num_steps_w) == (6, 10)
+    assert plan.num_steps_w_min == 8
+    assert (plan.meta_h, plan.meta_w) == (581, 768)
+    assert plan.window == 35
+    assert (plan.z_field_h, plan.z_field_w) == (65, 48)
+    assert plan.num_patches == 60
+    # noise fields: outstep*(nh-1)+outsize x outstep*nw_min
+    assert plan.noise_sizes[0] == (12 * 5 + 19, 12 * 8)
+    assert plan.noise_sizes[-1] == (96 * 5 + 101, 96 * 8)
+    # wrap-column cp equals base-column cp
+    cps = plan.cp_scalars.reshape(6, 10, 5)
+    np.testing.assert_allclose(cps[:, 8], cps[:, 0])
+    np.testing.assert_allclose(cps[:, 9], cps[:, 1])
+
+
+def test_infinite_plan_numbers():
+    cfg = Config()
+    g = Generator.from_config(cfg)
+    plan = build_infinite_plan(g, 256, 512)
+    # reference formula: ceil((target-101)/96) + 3
+    assert plan.num_steps_h == int(np.ceil((256 - 101) / 96)) + 3
+    assert plan.num_steps_w == int(np.ceil((512 - 101) / 96)) + 3
+    assert plan.meta_h == 96 * (plan.num_steps_h - 1) + 101
+
+
+@pytest.fixture(scope="module")
+def tiny_engine():
+    cfg = Config()
+    tp = cfg.train_params
+    tp.global_latent_dim = 32
+    tp.local_latent_dim = 16
+    tp.channel_multiplier = 1
+    tp.n_mlp = 2
+    g = Generator.from_config(cfg)
+    object.__setattr__(g.ts, "channel_base", 48)
+    params = g.init(jax.random.PRNGKey(0))
+    plan = build_close_loop_plan(g, 128, 672)
+    eng = PanoramaEngine(g=g, plan=plan, batch=2, patch_chunk=4,
+                         grid_partial=tp.partial)
+    return g, params, eng
+
+
+def test_close_loop_wrap_columns_bit_identical(tiny_engine):
+    g, params, eng = tiny_engine
+    plan = eng.plan
+    assert plan.num_steps_w_min == 7 and plan.num_steps_w == 9
+    gl, z_field, noises = eng.sample_fields(jax.random.PRNGKey(3))
+    patches = np.asarray(eng._generate_patches(params, gl, z_field, noises))
+    P = plan.num_patches
+    patches = patches.reshape(plan.num_steps_h, plan.num_steps_w,
+                              *patches.shape[1:])
+    # wrap cols 7,8 == base cols 0,1 (identical windows + cp). Note: this
+    # holds only while the base column's own window does not wrap — the
+    # reference circular-flag algorithm (close_loop:462-472) assigns
+    # circular=False to wrap columns, so a wrapping base column would get a
+    # different sphere grid. Width >= (window+zx)/zx*px guarantees it; the
+    # shipped 768 config satisfies it for both wrap columns.
+    np.testing.assert_array_equal(patches[:, 7], patches[:, 0])
+    np.testing.assert_array_equal(patches[:, 8], patches[:, 1])
+
+
+def test_meta_assembly_and_determinism(tiny_engine):
+    g, params, eng = tiny_engine
+    meta1 = np.asarray(eng.generate(params, jax.random.PRNGKey(5)))
+    meta2 = np.asarray(eng.generate(params, jax.random.PRNGKey(5)))
+    np.testing.assert_array_equal(meta1, meta2)
+    assert meta1.shape == (2, eng.plan.meta_h, eng.plan.meta_w, 3)
+    assert np.isfinite(meta1).all()
+    out = np.asarray(eng.crop_to_target(meta1))
+    assert out.shape == (2, 128, 672, 3)
+
+
+def test_meta_wrap_region_matches_base_columns(tiny_engine):
+    """Meta-image columns [0, overlap) are written last by the wrap columns;
+    by the bit-identity above the seam region equals the base columns' own
+    content => the pano is continuous across the 0/360 boundary."""
+    g, params, eng = tiny_engine
+    plan = eng.plan
+    gl, z_field, noises = eng.sample_fields(jax.random.PRNGKey(7))
+    patches = np.asarray(eng._generate_patches(params, gl, z_field, noises))
+    meta = np.asarray(eng.generate_from_fields(params, gl, z_field, noises))
+    patches = patches.reshape(plan.num_steps_h, plan.num_steps_w,
+                              *patches.shape[1:])
+    # last row's final wrap column (j=8) writes cols 768..869 % 672
+    i = plan.num_steps_h - 1
+    r = i * plan.geom.pixelspace_step
+    p = patches[i, 8]  # j=8 -> cols 768..869 -> 96..197 (no split)
+    np.testing.assert_array_equal(meta[:, r:r + 101, 96:197], p)
