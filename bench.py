@@ -1,0 +1,57 @@
+"""Benchmark: 384x768 closed-loop panorama generation throughput on the
+available accelerator (the reference's canonical eval task,
+configs/test/spgan_384x768.yaml: batch 16, 60 generator calls per panorama).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+vs_baseline: the reference repo publishes no numbers (BASELINE.md); its
+harness measures sec/image on GPU. As a driver-stable proxy we report
+panoramas/sec/chip and set vs_baseline against a 1.0 pano/s reference point.
+"""
+import json
+import sys
+import time
+
+
+def main():
+    import jax
+
+    from spgan_tpu.config import Config
+    from spgan_tpu.infer.engine import PanoramaEngine
+    from spgan_tpu.infer.stitcher import build_close_loop_plan
+    from spgan_tpu.models.generator import Generator
+
+    cfg = Config()
+    batch = cfg.task.batch_size  # 16
+    g = Generator.from_config(cfg)
+    params = g.init(jax.random.PRNGKey(0))
+
+    plan = build_close_loop_plan(g, cfg.task.height, cfg.task.width)
+    engine = PanoramaEngine(
+        g=g, plan=plan, batch=batch, patch_chunk=cfg.task.patch_chunk,
+        grid_partial=cfg.train_params.partial,
+        compute_dtype="bfloat16")
+
+    # warmup / compile
+    meta = engine.generate(params, jax.random.PRNGKey(1))
+    meta.block_until_ready()
+
+    iters = 5
+    t0 = time.perf_counter()
+    for i in range(iters):
+        meta = engine.generate(params, jax.random.PRNGKey(2 + i))
+    meta.block_until_ready()
+    dt = time.perf_counter() - t0
+
+    panos = iters * batch
+    panos_per_sec = panos / dt
+    print(json.dumps({
+        "metric": "closeloop_pano_384x768_throughput",
+        "value": round(panos_per_sec, 4),
+        "unit": "panoramas/sec/chip",
+        "vs_baseline": round(panos_per_sec / 1.0, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()
