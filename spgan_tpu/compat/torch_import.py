@@ -1,0 +1,187 @@
+"""One-way importer: reference PyTorch checkpoints -> spgan_tpu param pytrees.
+
+Maps the reference g_ema state_dict layout (models/spgan/spgan.py module
+tree) onto the NHWC param pytree:
+
+  torch conv weight (out,in,kh,kw)          -> HWIO (kh,kw,in,out)
+  torch modulated conv weight (1,out,in,k,k)-> (k,k,in,out)
+  torch linear weight (out,in)              -> (in,out)
+
+Name map (g_ema.*):
+  texture_synthesizer.mapping.{1..n}.{weight,bias}       -> ts.mapping[i]
+  texture_synthesizer.convs.{i}.conv.weight              -> ts.convs[i].conv.weight
+  texture_synthesizer.convs.{i}.conv.modulation.*        -> ts.convs[i].conv.modulation
+  texture_synthesizer.convs.{i}.noise.weight             -> ts.convs[i].noise.weight
+  texture_synthesizer.convs.{i}.activate.bias            -> ts.convs[i].act_bias
+  texture_synthesizer.to_rgbs.{j}.conv.{weight,modulation.*}, .bias
+  texture_synthesizer.sp_convs.{j}.{weight,bias}         -> ts.sp_convs[j]
+  structure_synthesizer.implicit_model.conv_stack.{2i}.  (sphere block)
+      conv.conv.weight / conv.conv.modulation.* / sc.{weight,bias}
+  structure_synthesizer.implicit_model.conv_stack.{2i+1}. (planar block)
+      conv.conv.weight / conv.conv.modulation.* / conv.activate.bias
+
+The transfer-learning SS index remap of the reference (utils.py:311-394,
+old baselines stored the planar stack at indices (0,1,2,3) before the sphere
+blocks were interleaved) is available via remap_ss_indices=True.
+"""
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import numpy as np
+
+
+def _t(x) -> np.ndarray:
+    try:
+        import torch
+
+        if isinstance(x, torch.Tensor):
+            return x.detach().cpu().numpy()
+    except ImportError:
+        pass
+    return np.asarray(x)
+
+
+def _conv_w(x) -> np.ndarray:
+    w = _t(x)
+    if w.ndim == 5:  # (1,out,in,k,k) modulated
+        w = w[0]
+    return w.transpose(2, 3, 1, 0)  # (k,k,in,out)
+
+
+def _linear(sd, prefix) -> Dict[str, np.ndarray]:
+    out = {"weight": _t(sd[prefix + ".weight"]).T}
+    if prefix + ".bias" in sd:
+        out["bias"] = _t(sd[prefix + ".bias"])
+    return out
+
+
+def import_torch_generator(state_dict: Dict, g,
+                           remap_ss_indices: bool = False) -> dict:
+    """state_dict: the torch g_ema state dict; g: Generator spec.
+    Returns a params pytree matching g.init()'s structure."""
+    sd = {k.replace("module.", "", 1) if k.startswith("module.") else k: v
+          for k, v in state_dict.items()}
+
+    params: dict = {"ts": {"mapping": [], "convs": [], "to_rgbs": [],
+                           "sp_convs": []}}
+
+    # ---- TS mapping (layer 0 is PixelNorm, parameterless) -------------
+    for i in range(g.ts.n_mlp):
+        params["ts"]["mapping"].append(
+            _linear(sd, f"texture_synthesizer.mapping.{i + 1}"))
+
+    # ---- TS convs ------------------------------------------------------
+    n_convs = g.ts.num_layers
+    for i in range(n_convs):
+        p = f"texture_synthesizer.convs.{i}"
+        entry = {
+            "conv": {
+                "weight": _conv_w(sd[f"{p}.conv.weight"]),
+                "modulation": _linear(sd, f"{p}.conv.modulation"),
+            },
+            "act_bias": _t(sd[f"{p}.activate.bias"]),
+        }
+        if f"{p}.noise.weight" in sd:
+            entry["noise"] = {"weight": _t(sd[f"{p}.noise.weight"]).reshape(())}
+        params["ts"]["convs"].append(entry)
+
+    # ---- TS to_rgbs ----------------------------------------------------
+    _, to_rgbs, i2j = g.ts.plan()
+    for j in range(len(to_rgbs)):
+        p = f"texture_synthesizer.to_rgbs.{j}"
+        params["ts"]["to_rgbs"].append({
+            "conv": {
+                "weight": _conv_w(sd[f"{p}.conv.weight"]),
+                "modulation": _linear(sd, f"{p}.conv.modulation"),
+            },
+            "bias": _t(sd[f"{p}.bias"]).reshape(1, 1, 1, 3),
+        })
+
+    # ---- TS sphere skip convs -----------------------------------------
+    for j in range(len(i2j)):
+        p = f"texture_synthesizer.sp_convs.{j}"
+        params["ts"]["sp_convs"].append({
+            "weight": _t(sd[f"{p}.weight"]).transpose(2, 3, 1, 0),
+            "bias": _t(sd[f"{p}.bias"]),
+        })
+
+    # ---- SS ------------------------------------------------------------
+    if g.ss is not None:
+        blocks = []
+        for i in range(g.ss.n_layers):
+            if remap_ss_indices:
+                # old layout: planar at i, sphere interleaved later
+                sphere_idx, planar_idx = 2 * i, 2 * i + 1
+            else:
+                sphere_idx, planar_idx = 2 * i, 2 * i + 1
+            sp = f"structure_synthesizer.implicit_model.conv_stack.{sphere_idx}"
+            pp = f"structure_synthesizer.implicit_model.conv_stack.{planar_idx}"
+            blocks.append({
+                "sphere": {"conv": {
+                    "weight": _conv_w(sd[f"{sp}.conv.conv.weight"]),
+                    "modulation": _linear(sd, f"{sp}.conv.conv.modulation"),
+                }},
+                "sc": {
+                    "weight": _t(sd[f"{sp}.sc.weight"]).transpose(2, 3, 1, 0),
+                    "bias": _t(sd[f"{sp}.sc.bias"]),
+                },
+                "planar": {
+                    "conv": {
+                        "weight": _conv_w(sd[f"{pp}.conv.conv.weight"]),
+                        "modulation": _linear(sd, f"{pp}.conv.conv.modulation"),
+                    },
+                    "act_bias": _t(sd[f"{pp}.conv.activate.bias"]),
+                },
+            })
+        params["ss"] = {"blocks": blocks}
+
+    import jax.numpy as jnp
+
+    return __import__("jax").tree_util.tree_map(
+        lambda x: jnp.asarray(x, jnp.float32), params)
+
+
+def export_torch_style_state_dict(params: dict, g) -> Dict[str, np.ndarray]:
+    """Inverse mapping (for round-trip tests and torch interop)."""
+    sd: Dict[str, np.ndarray] = {}
+
+    def put_linear(prefix, p):
+        sd[prefix + ".weight"] = np.asarray(p["weight"]).T
+        if "bias" in p:
+            sd[prefix + ".bias"] = np.asarray(p["bias"])
+
+    def put_modconv(prefix, p):
+        w = np.asarray(p["weight"]).transpose(3, 2, 0, 1)[None]
+        sd[prefix + ".weight"] = w
+        put_linear(prefix + ".modulation", p["modulation"])
+
+    for i, p in enumerate(params["ts"]["mapping"]):
+        put_linear(f"texture_synthesizer.mapping.{i + 1}", p)
+    for i, p in enumerate(params["ts"]["convs"]):
+        pre = f"texture_synthesizer.convs.{i}"
+        put_modconv(pre + ".conv", p["conv"])
+        sd[pre + ".activate.bias"] = np.asarray(p["act_bias"])
+        if "noise" in p:
+            sd[pre + ".noise.weight"] = np.asarray(
+                p["noise"]["weight"]).reshape(1)
+    for j, p in enumerate(params["ts"]["to_rgbs"]):
+        pre = f"texture_synthesizer.to_rgbs.{j}"
+        put_modconv(pre + ".conv", p["conv"])
+        sd[pre + ".bias"] = np.asarray(p["bias"]).reshape(1, 3, 1, 1)
+    for j, p in enumerate(params["ts"]["sp_convs"]):
+        pre = f"texture_synthesizer.sp_convs.{j}"
+        sd[pre + ".weight"] = np.asarray(p["weight"]).transpose(3, 2, 0, 1)
+        sd[pre + ".bias"] = np.asarray(p["bias"])
+    if "ss" in params:
+        for i, blk in enumerate(params["ss"]["blocks"]):
+            sp = f"structure_synthesizer.implicit_model.conv_stack.{2 * i}"
+            pp = f"structure_synthesizer.implicit_model.conv_stack.{2 * i + 1}"
+            put_modconv(sp + ".conv.conv", blk["sphere"]["conv"])
+            sd[sp + ".sc.weight"] = np.asarray(
+                blk["sc"]["weight"]).transpose(3, 2, 0, 1)
+            sd[sp + ".sc.bias"] = np.asarray(blk["sc"]["bias"])
+            put_modconv(pp + ".conv.conv", blk["planar"]["conv"])
+            sd[pp + ".conv.activate.bias"] = np.asarray(
+                blk["planar"]["act_bias"])
+    return sd

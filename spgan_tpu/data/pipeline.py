@@ -1,0 +1,188 @@
+"""Host data pipeline: pano -> square resize -> flip -> random patch crop.
+
+Behavioral parity targets (reference dataset.py):
+  * MaybeResize (:95-114): center-crop to square + Lanczos resize to full_size
+  * random horizontal flip (:490-497)
+  * CropPatch (:117-270): random patch crop with ac_coords labels — for
+    coord_num_dir==3: (raw x ratio, sin(pi*y'), cos(pi*y')) with the
+    reference's exact (input-patch-1) denominators (:195-199)
+  * [-1,1] normalization (:507-512)
+
+Sources: "synthetic" (noise panos, for smoke/integration), "folder" (a
+directory of image files), "npy" (a packed (N,H,W,3) uint8 array — the
+prepare_data.py analogue, see spgan_tpu/data/records.py).
+
+The loader is a double-buffered background-thread prefetcher; batches are
+numpy, handed to jax.device_put by the training loop.
+"""
+from __future__ import annotations
+
+import os
+import queue
+import threading
+from dataclasses import dataclass
+from glob import glob
+from typing import Dict, Iterator, Optional
+
+import numpy as np
+
+from spgan_tpu.config import Config
+
+
+def center_square_resize(img: np.ndarray, size: int) -> np.ndarray:
+    """Center-crop to square then resize (Lanczos) — MaybeResize parity."""
+    h, w = img.shape[:2]
+    if h != w:
+        if h > w:
+            t = (h - w) // 2
+            img = img[t:t + w]
+        else:
+            t = (w - h) // 2
+            img = img[:, t:t + h]
+    if img.shape[0] != size:
+        import cv2
+
+        img = cv2.resize(img, (size, size), interpolation=cv2.INTER_LANCZOS4)
+    return img
+
+
+@dataclass
+class PatchCropper:
+    input_size: int   # full_size, e.g. 197
+    patch_size: int   # e.g. 101
+    coord_num_dir: int = 3
+
+    def __call__(self, img: np.ndarray, rng: np.random.RandomState):
+        """img: (S, S, 3). Returns (patch, ac_coords)."""
+        span = self.input_size - self.patch_size
+        xst = rng.randint(0, span) if span > 0 else 0
+        yst = rng.randint(0, span) if span > 0 else 0
+        patch = img[xst:xst + self.patch_size, yst:yst + self.patch_size]
+
+        def ratio(v):
+            # reference denominators: input - patch - 1 (dataset.py:196-198)
+            return v / (self.input_size - self.patch_size - 1) * 2.0 - 1.0
+
+        if self.coord_num_dir == 3:
+            ac = np.array([ratio(xst),
+                           np.sin(ratio(yst) * np.pi),
+                           np.cos(ratio(yst) * np.pi)], np.float32)
+        else:
+            raise NotImplementedError(self.coord_num_dir)
+        return patch, ac
+
+
+def _synthetic_source(n: int, data_size, seed: int = 0):
+    """Deterministic random panos (smooth-ish noise) for smoke testing."""
+    w, h = data_size
+    rng = np.random.RandomState(seed)
+    base = rng.randint(0, 255, (n, h // 8, w // 8, 3), np.uint8)
+
+    def load(idx):
+        import cv2
+
+        return cv2.resize(base[idx % n], (w, h),
+                          interpolation=cv2.INTER_LINEAR)
+
+    return n, load
+
+
+def _folder_source(folder: str):
+    paths = sorted(
+        p for p in glob(os.path.join(folder, "*"))
+        if p.lower().endswith((".png", ".jpg", ".jpeg", ".webp")))
+    assert paths, f"no images found in {folder}"
+
+    def load(idx):
+        from PIL import Image
+
+        return np.asarray(Image.open(paths[idx % len(paths)]).convert("RGB"))
+
+    return len(paths), load
+
+
+def _npy_source(path: str):
+    arr = np.load(path, mmap_mode="r")
+
+    def load(idx):
+        return np.asarray(arr[idx % arr.shape[0]])
+
+    return arr.shape[0], load
+
+
+def make_data_source(cfg: Config):
+    dp = cfg.data_params
+    if dp.source == "synthetic":
+        return _synthetic_source(max(64, min(dp.num_train, 512)),
+                                 cfg.train_params.data_size)
+    if dp.source == "folder":
+        return _folder_source(dp.folder)
+    if dp.source == "npy":
+        return _npy_source(dp.folder)
+    raise ValueError(f"unknown data source {dp.source}")
+
+
+class TrainPipeline:
+    """Background-prefetched training batches:
+    {"patch": (B,101,101,3) f32 in [-1,1], "ac_coords": (B,3),
+     "full": (B,197,197,3)}"""
+
+    def __init__(self, cfg: Config, seed: int = 0, prefetch: int = 4,
+                 include_full: bool = False):
+        self.cfg = cfg
+        self.n, self.load = make_data_source(cfg)
+        tp = cfg.train_params
+        self.cropper = PatchCropper(tp.full_size, tp.patch_size,
+                                    tp.coord_num_dir)
+        self.include_full = include_full
+        self.rng = np.random.RandomState(seed)
+        self.batch = tp.batch_size
+        self._q: "queue.Queue" = queue.Queue(maxsize=prefetch)
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._worker, daemon=True)
+        self._thread.start()
+
+    def _sample_one(self, rng):
+        idx = rng.randint(0, self.n)
+        img = self.load(idx)
+        img = center_square_resize(img, self.cfg.train_params.full_size)
+        if rng.rand() < 0.5:
+            img = img[:, ::-1]
+        patch, ac = self.cropper(img, rng)
+        return img, patch, ac
+
+    def _make_batch(self, rng):
+        fulls, patches, acs = [], [], []
+        for _ in range(self.batch):
+            f, p, a = self._sample_one(rng)
+            fulls.append(f)
+            patches.append(p)
+            acs.append(a)
+
+        def norm(x):
+            return np.asarray(x, np.float32) / 127.5 - 1.0
+
+        out = {"patch": norm(np.stack(patches)),
+               "ac_coords": np.stack(acs).astype(np.float32)}
+        if self.include_full:
+            out["full"] = norm(np.stack(fulls))
+        return out
+
+    def _worker(self):
+        while not self._stop.is_set():
+            b = self._make_batch(self.rng)
+            while not self._stop.is_set():
+                try:
+                    self._q.put(b, timeout=0.5)
+                    break
+                except queue.Full:
+                    continue
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        return self
+
+    def __next__(self) -> Dict[str, np.ndarray]:
+        return self._q.get()
+
+    def close(self):
+        self._stop.set()

