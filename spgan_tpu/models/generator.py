@@ -429,10 +429,15 @@ class Generator:
         randomness happen in the training wrapper, not here."""
         out: Dict[str, jnp.ndarray] = {}
         if structure_latent is None:
-            assert self.ss is not None and local_latent is not None
-            structure_latent = self.ss.apply(
-                params["ss"], global_latent[:, 0], local_latent, coords, cp,
-                grids=ss_grids)
+            assert local_latent is not None
+            if self.ss is None:
+                # styleGAN2 baseline: the local latent IS the structure latent
+                # (reference spgan.py:1380-1384)
+                structure_latent = local_latent
+            else:
+                structure_latent = self.ss.apply(
+                    params["ss"], global_latent[:, 0], local_latent, coords,
+                    cp, grids=ss_grids)
         if styles is None:
             styles = self.build_styles(params, global_latent, inject_index)
         img = self.ts.synthesize(params["ts"], structure_latent, styles, cp,

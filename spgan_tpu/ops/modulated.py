@@ -94,8 +94,15 @@ class ModulatedConv2d:
     def _blur(self) -> Blur:
         if self.no_zero_pad:
             return Blur(self.blur_kernel, pad=(0, 0), upsample_factor=2)
-        p = len(self.blur_kernel) // 2
-        return Blur(self.blur_kernel, pad=(p, p), upsample_factor=2)
+        if len(self.blur_kernel) % 2 == 1:
+            p = len(self.blur_kernel) // 2
+            pad0 = pad1 = p
+        else:
+            # original StyleGAN2 even-kernel padding (reference ops.py:273-278)
+            p = (len(self.blur_kernel) - 2) - (self.kernel_size - 1)
+            pad0 = (p + 1) // 2 + 1
+            pad1 = p // 2 + 1
+        return Blur(self.blur_kernel, pad=(pad0, pad1), upsample_factor=2)
 
     def init(self, key: jax.Array) -> dict:
         k = self.kernel_size

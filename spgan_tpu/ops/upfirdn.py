@@ -61,11 +61,16 @@ def _depthwise(x: jnp.ndarray, k2d: jnp.ndarray, *, lhs_dilation=(1, 1),
 def upfirdn2d(x: jnp.ndarray, kernel: jnp.ndarray, up: int = 1, down: int = 1,
               pad: Tuple[int, int] = (0, 0)) -> jnp.ndarray:
     """NHWC equivalent of the reference CUDA upfirdn2d (zero-insert upsample by
-    `up`, pad (pad0, pad1) on both spatial dims, FIR filter, stride-`down`)."""
+    `up`, pad (pad0, pad1) on both spatial dims, FIR filter, stride-`down`).
+
+    Note: the CUDA kernel's zero-insertion produces up*H samples (trailing
+    zeros included); lhs_dilation yields up*H-(up-1), so the high-side padding
+    gets the missing (up-1) zeros to match output length exactly."""
+    extra = up - 1
     return _depthwise(
         x, jnp.asarray(kernel),
         lhs_dilation=(up, up),
-        padding=((pad[0], pad[1]), (pad[0], pad[1])),
+        padding=((pad[0], pad[1] + extra), (pad[0], pad[1] + extra)),
         strides=(down, down),
     )
 

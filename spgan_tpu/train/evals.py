@@ -1,0 +1,89 @@
+"""Training-time FID evaluation (reference train.py:641-668 + the ext2
+variant :676-719 — FID on 2x-extended generations center-cropped to
+full_size)."""
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from spgan_tpu.config import Config
+from spgan_tpu.models.generator import Generator
+from spgan_tpu.models.latents import LatentSampler
+
+
+def _inception_params():
+    """Load real inception weights if SPGAN_TPU_INCEPTION points at a
+    pytorch-fid checkpoint; else None (FID skipped)."""
+    path = os.environ.get("SPGAN_TPU_INCEPTION")
+    if not path or not os.path.exists(path):
+        return None
+    from spgan_tpu.evalkit.inception import load_torch_inception
+
+    return load_torch_inception(path)
+
+
+class TrainFID:
+    """FID of EMA-generator patches vs the training set (is_fid_eval
+    semantics: training-style coord crops, no dual latents)."""
+
+    def __init__(self, cfg: Config, g: Generator, pipeline,
+                 inception_params=None):
+        self.cfg = cfg
+        self.g = g
+        self.pipeline = pipeline
+        self.inception_params = (inception_params
+                                 if inception_params is not None
+                                 else _inception_params())
+        tp = cfg.train_params
+        self.sampler = LatentSampler(
+            global_dim=tp.global_latent_dim, local_dim=tp.local_latent_dim,
+            ts_input_size=tp.ts_input_size, ss_unfold_size=tp.ss_unfold_size,
+            mixing=tp.mixing)
+
+        @jax.jit
+        def gen(params_ema, key):
+            kg, kl, kc, kn = jax.random.split(key, 4)
+            b = tp.batch_size
+            gl = self.sampler.sample_global(kg, b)
+            ll = self.sampler.sample_local(kl, b)
+            coords, _, cp = g.ss.coord_grid.sample_training(kc, b)
+            out = g.apply(params_ema, global_latent=gl, local_latent=ll,
+                          coords=coords, cp=cp, noise_rng=kn)
+            return out["gen"]
+
+        self._gen = gen
+
+    @property
+    def available(self) -> bool:
+        return self.inception_params is not None
+
+    def __call__(self, params_ema, key: jax.Array,
+                 n_sample: Optional[int] = None) -> float:
+        assert self.available, "no inception weights (set SPGAN_TPU_INCEPTION)"
+        from spgan_tpu.evalkit.fid import FIDEvaluator, frechet_distance
+
+        tp = self.cfg.train_params
+        n = n_sample or self.cfg.test_params.n_fid_sample
+        n_batches = max(1, n // tp.batch_size)
+        ev = FIDEvaluator(self.inception_params)
+
+        def real_batches():
+            for _ in range(n_batches):
+                yield next(self.pipeline)["patch"]
+
+        key_dataset = (f"{self.cfg.data_params.dataset}-{tp.patch_size}"
+                       f"_spgan_tpu")
+        real = ev.real_stats(key_dataset, real_batches)
+
+        def fake_batches():
+            nonlocal key
+            for _ in range(n_batches):
+                key, k = jax.random.split(key)
+                yield self._gen(params_ema, k)
+
+        fake = ev.stats_from_batches(fake_batches())
+        return frechet_distance(real, fake)

@@ -103,6 +103,17 @@ def train(cfg: Config, debug: bool = False, seed: int = 0,
                       noise_rng=jax.random.fold_in(kvis, 2))
         return out["gen"]
 
+    fid_eval = None
+    if not debug and cfg.test_params.calc_fid:
+        from spgan_tpu.train.evals import TrainFID
+
+        fid_eval = TrainFID(cfg, g, pipeline)
+        if not fid_eval.available:
+            print(" [!] Inception weights not found (SPGAN_TPU_INCEPTION); "
+                  "FID evaluation disabled.")
+            fid_eval = None
+
+    best_fid = float("inf")
     total = tp.iter if max_iters is None else min(tp.iter, max_iters)
     lp = cfg.log_params
     t_last = time.time()
@@ -139,6 +150,17 @@ def train(cfg: Config, debug: bool = False, seed: int = 0,
 
             if it % lp.save_tick == 0 and it > 0 and ckpt_mgr is not None:
                 ckpt_mgr.save(it, jax.device_get(state))
+
+            if (fid_eval is not None and it % lp.eval_tick == 0 and it > 0):
+                fid = fid_eval(state.params_g_ema, jax.random.fold_in(key, it))
+                if writer is not None:
+                    writer.add_scalar("metric/fid", fid, it)
+                if fid < best_fid and ckpt_mgr is not None:
+                    best_fid = fid
+                    from spgan_tpu.train.checkpoint import save_best
+
+                    save_best(os.path.join(exp_root, "ckpt"), "best_fid",
+                              jax.device_get(state))
     except Exception:
         if not debug:
             os.makedirs(exp_root, exist_ok=True)
