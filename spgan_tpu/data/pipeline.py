@@ -122,6 +122,39 @@ def make_data_source(cfg: Config):
     raise ValueError(f"unknown data source {dp.source}")
 
 
+class NativeTrainPipeline:
+    """Training batches straight from the C++ record loader (SPR1 files,
+    see spgan_tpu/data/native_loader.py) — replaces the python crop path and
+    the reference's LMDB/DataLoader worker pool."""
+
+    def __init__(self, cfg: Config, seed: int = 0, include_full: bool = False):
+        from spgan_tpu.data.native_loader import NativeRecordLoader
+
+        tp = cfg.train_params
+        self._ld = NativeRecordLoader(
+            cfg.data_params.folder, full_size=tp.full_size,
+            patch_size=tp.patch_size, batch=tp.batch_size, seed=seed,
+            include_full=include_full)
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        return self._ld.next_batch()
+
+    def close(self):
+        self._ld.close()
+
+
+def make_train_pipeline(cfg: Config, seed: int = 0,
+                        include_full: bool = False):
+    """Pick the native loader for .spr sources, python pipeline otherwise."""
+    if (cfg.data_params.source == "spr"
+            or (cfg.data_params.folder or "").endswith(".spr")):
+        return NativeTrainPipeline(cfg, seed=seed, include_full=include_full)
+    return TrainPipeline(cfg, seed=seed, include_full=include_full)
+
+
 class TrainPipeline:
     """Background-prefetched training batches:
     {"patch": (B,101,101,3) f32 in [-1,1], "ac_coords": (B,3),

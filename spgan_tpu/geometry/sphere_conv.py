@@ -68,10 +68,14 @@ class SphereStyledConv:
 
     def apply(self, params: dict, x: jnp.ndarray, style: jnp.ndarray,
               coords: jnp.ndarray, cp: CoordsPartial,
-              grid: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+              grid: Optional[jnp.ndarray] = None,
+              grid_groups: int = 0) -> jnp.ndarray:
         """x: (B,H,W,local_dim); coords: (B,H,W,coord_dim) RAW indices;
         style: (B,style_dim). Output: (B,H,W,out_ch) — size preserving
-        (stride == kernel over the k-times-resampled map)."""
+        (stride == kernel over the k-times-resampled map).
+
+        grid_groups>0: `grid` is (G, 3H, 3W, 2), shared by B//G samples each
+        (fast batch-shared gather — see ops/grid_sample.py)."""
         b, h, w, _ = x.shape
         k = self.kernel_size
         if grid is None:
@@ -79,7 +83,7 @@ class SphereStyledConv:
         spec = self.conv_spec()
 
         both = jnp.concatenate([x, coords.astype(x.dtype)], axis=-1)
-        sampled = st_grid_sample_3x3(both, grid)  # (B,3H,3W,in_ch)
+        sampled = st_grid_sample_3x3(both, grid, grid_groups)  # (B,3H,3W,in)
         s_x = sampled[..., :self.local_dim]
         s_c = encode_coords(sampled[..., self.local_dim:], self.coord_dim)
         sampled = jnp.concatenate([s_x, s_c.astype(x.dtype)], axis=-1)
@@ -112,12 +116,13 @@ class SphereSkipConv:
         return {"weight": w, "bias": b}
 
     def apply(self, params: dict, x: jnp.ndarray, cp: CoordsPartial,
-              grid: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+              grid: Optional[jnp.ndarray] = None,
+              grid_groups: int = 0) -> jnp.ndarray:
         b, h, w, _ = x.shape
         k = self.kernel_size
         if grid is None:
             grid = sphere_patch_grid_batch(cp, h, w, k)
-        sampled = st_grid_sample_3x3(x, grid)
+        sampled = st_grid_sample_3x3(x, grid, grid_groups)
         y = _conv_stride_k(
             sampled, params["weight"].astype(x.dtype) * self.scale, k)
         y = y + params["bias"].astype(x.dtype)

@@ -131,19 +131,30 @@ class PanoramaEngine:
                 layer_noises.append(
                     nw.reshape(chunk * B, sz, sz, 1).astype(cdt))
 
-            rep = jnp.repeat(cps, B, axis=0)  # (chunk*B, 5)
+            # one CoordsPartial / sphere grid per lattice position, shared by
+            # all B panoramas (batch-shared gathers in the samplers)
             cp = CoordsPartial(
-                p_x_st=rep[:, 0], p_x_ed=rep[:, 1],
-                p_y_st=rep[:, 2], p_y_ed=rep[:, 3], circular=rep[:, 4],
+                p_x_st=cps[:, 0], p_x_ed=cps[:, 1],
+                p_y_st=cps[:, 2], p_y_ed=cps[:, 3], circular=cps[:, 4],
                 x_total=plan.x_total, y_total=plan.y_total,
                 grid_partial=self.grid_partial, test_flag=True)
+            from spgan_tpu.geometry.sphere_grid import sphere_patch_grid_batch
+
+            ss_sizes = g.ss.layer_sizes(win)
+            ss_grids = [sphere_patch_grid_batch(cp, s, s) for s in ss_sizes]
+            _, _, i2j = g.ts.plan()
+            skip_sizes = [out_sizes[src - 2] for src in sorted(i2j)]
+            skip_grids = [sphere_patch_grid_batch(cp, s, s)
+                          for s in skip_sizes]
 
             gz_t = jnp.tile(gz, (chunk, 1)).astype(cdt)
             styles_t = jnp.tile(styles, (chunk, 1, 1)).astype(cdt)
 
-            structure = g.ss.apply(params["ss"], gz_t, zw, cw, cp)
+            structure = g.ss.apply(params["ss"], gz_t, zw, cw, cp,
+                                   grids=ss_grids, grid_groups=chunk)
             img = g.ts.synthesize(params["ts"], structure, styles_t, cp,
-                                  noises=layer_noises)
+                                  noises=layer_noises, skip_grids=skip_grids,
+                                  grid_groups=chunk)
             return img.reshape(chunk, B, patch_sz, patch_sz, 3)
 
         patches = jax.lax.map(gen_chunk, (z_starts, n_starts, cp_all))

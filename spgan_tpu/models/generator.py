@@ -141,7 +141,8 @@ class StructureSynthesizer:
     def apply(self, params: dict, global_z: jnp.ndarray,
               local_latent: jnp.ndarray, coords: jnp.ndarray,
               cp: CoordsPartial,
-              grids: Optional[Sequence[jnp.ndarray]] = None) -> jnp.ndarray:
+              grids: Optional[Sequence[jnp.ndarray]] = None,
+              grid_groups: int = 0) -> jnp.ndarray:
         """global_z: (B, global_dim) RAW z (ss_mapping is off in the shipped
         config — the SS styled convs are modulated by unmapped z,
         spgan.py:1342-1343); local_latent: (B,S,S,local_dim);
@@ -153,7 +154,8 @@ class StructureSynthesizer:
             hh, hw = h.shape[1], h.shape[2]
             c = _center_crop(coords, hh, hw)
             grid = None if grids is None else grids[i]
-            y = sphere.apply(blk["sphere"], h, global_z, c, cp, grid=grid)
+            y = sphere.apply(blk["sphere"], h, global_z, c, cp, grid=grid,
+                             grid_groups=grid_groups)
             y = jax.nn.leaky_relu(y, 0.01)  # LeakyReLU_n (gs StyledConv)
             h = y + _plain_conv1x1(blk["sc"], h)
             c = _center_crop(coords, h.shape[1], h.shape[2])
@@ -313,6 +315,7 @@ class TextureSynthesizer:
                    noises: Optional[Sequence[Optional[jnp.ndarray]]] = None,
                    rng: Optional[jax.Array] = None,
                    skip_grids: Optional[Sequence[jnp.ndarray]] = None,
+                   grid_groups: int = 0,
                    return_feats: bool = False):
         """structure_latent: (B,11,11,256); styles: (B, n_latent, 512).
 
@@ -342,7 +345,8 @@ class TextureSynthesizer:
                     if return_feats:
                         feats[f"to_rgb_{i}"] = skip
                     skip = sphere_skip.apply(params["sp_convs"][i2j[i]],
-                                             skip, cp, grid=grid)
+                                             skip, cp, grid=grid,
+                                             grid_groups=grid_groups)
                     if return_feats:
                         feats[f"sphere_to_rgb_{i}"] = skip
                 skip = rgb_specs[cur_rgb].apply(

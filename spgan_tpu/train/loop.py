@@ -79,9 +79,9 @@ def train(cfg: Config, debug: bool = False, seed: int = 0,
 
     step_fn = make_train_step(cfg, g, d)
 
-    from spgan_tpu.data.pipeline import TrainPipeline
+    from spgan_tpu.data.pipeline import make_train_pipeline
 
-    pipeline = TrainPipeline(cfg, seed=seed)
+    pipeline = make_train_pipeline(cfg, seed=seed)
 
     # fixed latents for visualization (train.py:125-128)
     sampler = LatentSampler(global_dim=tp.global_latent_dim,
