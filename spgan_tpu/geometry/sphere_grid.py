@@ -113,6 +113,56 @@ def sphere_patch_grid(p_x_st, p_x_ed, p_y_st, p_y_ed, circular,
     return jnp.stack([gx, gy], axis=-1).astype(jnp.float32)
 
 
+@_partial(jax.jit, static_argnames=("h", "w", "k", "x_total", "y_total"))
+def sphere_offset_tables(p_x_st, p_x_ed, p_y_st, p_y_ed, circular,
+                         grid_partial, *, h: int, w: int, k: int,
+                         x_total: int, y_total: int):
+    """Row-wise sampling offsets — the structural decomposition of the patch
+    grid.  Because min-max normalization maps the (linear) lat/lon ranges to
+    exact linspaces, the sampled position for output pixel (r, c), tap t is
+
+        py = r + dy(r, t),   px = c + dx(r, t)
+
+    i.e. every output row is a uniformly-translated bilinear resample of the
+    input — no 2-D gather needed (this is what the Pallas kernel exploits).
+
+    Returns dict with (h, k*k) arrays: y0, y1 (clamped int rows), wy (row
+    frac), sx (int col shift), fx (col frac).  Tap order t = ti*k + tj matches
+    the (H*k, W*k) grid layout of sphere_patch_grid.
+    """
+    dtype = jnp.float32
+    ker_x, ker_y, rho, nu = _kernel_offsets(k, x_total, y_total)
+    ker_x = jnp.asarray(ker_x, dtype)
+    ker_y = jnp.asarray(ker_y, dtype)
+    rho = jnp.asarray(rho, dtype)
+    cos_nu = jnp.asarray(np.cos(nu), dtype)
+    sin_nu = jnp.asarray(np.sin(nu), dtype)
+
+    x_st = jnp.asarray(p_x_st, dtype) * np.pi * grid_partial
+    x_ed = jnp.asarray(p_x_ed, dtype) * np.pi * grid_partial
+    lat_range = jnp.linspace(x_st, x_ed, h) - (np.pi / 2.0) * grid_partial
+    sin_lat = jnp.sin(lat_range)[:, None, None]
+    cos_lat = jnp.cos(lat_range)[:, None, None]
+    lat = jnp.arcsin(jnp.clip(
+        cos_nu * sin_lat + ker_y * sin_nu * cos_lat / rho, -1.0, 1.0))
+    pattern = lat - lat[:, k // 2, k // 2][:, None, None]      # (h,k,k)
+    lon_off = jnp.arctan(
+        ker_x * sin_nu / (rho * cos_lat * cos_nu - ker_y * sin_lat * sin_nu))
+
+    dy = pattern.reshape(h, k * k) * (h - 1) / 2.0
+    dx = lon_off.reshape(h, k * k) * (w - 1) / 2.0
+
+    rows = jnp.arange(h, dtype=dtype)[:, None]
+    py = rows + dy
+    y_floor = jnp.floor(py)
+    wy = (py - y_floor).astype(dtype)
+    y0 = jnp.clip(y_floor.astype(jnp.int32), 0, h - 1)
+    y1 = jnp.clip(y_floor.astype(jnp.int32) + 1, 0, h - 1)
+    sx = jnp.floor(dx).astype(jnp.int32)
+    fx = (dx - jnp.floor(dx)).astype(dtype)
+    return {"y0": y0, "y1": y1, "wy": wy, "sx": sx, "fx": fx}
+
+
 def sphere_patch_grid_batch(cp, h: int, w: int, k: int = 3) -> jnp.ndarray:
     """Batched grids from a CoordsPartial struct-of-arrays: (B, h*k, w*k, 2)."""
     fn = lambda a, b, c, d, e: sphere_patch_grid(

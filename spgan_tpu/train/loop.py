@@ -61,6 +61,12 @@ def train(cfg: Config, debug: bool = False, seed: int = 0,
         except Exception:
             writer = None
         ckpt_mgr = CheckpointManager(os.path.join(exp_root, "ckpt"))
+        try:  # source snapshot (reference libs/backup.py, train.py:66-68)
+            from spgan_tpu.utils.misc import backup_files
+
+            backup_files(os.getcwd(), os.path.join(exp_root, "codes"))
+        except Exception:
+            pass
 
     g = Generator.from_config(cfg)
     d = Discriminator.from_config(cfg)

@@ -23,6 +23,28 @@ def manually_seed(seed: int) -> None:
     np.random.seed(seed)
 
 
+def backup_files(cur_dir: str, backup_dir: str,
+                 exts=(".py", ".cc", ".yaml", ".yml")) -> int:
+    """Snapshot source files into the experiment dir for reproducibility
+    (reference libs/backup.py:28-42)."""
+    import shutil
+
+    n = 0
+    for root, dirs, files in os.walk(cur_dir):
+        dirs[:] = [d for d in dirs
+                   if d not in {".git", "logs", "__pycache__", "tests",
+                                ".fid-cache"}]
+        for f in files:
+            if f.endswith(exts):
+                src = os.path.join(root, f)
+                rel = os.path.relpath(src, cur_dir)
+                dst = os.path.join(backup_dir, rel)
+                os.makedirs(os.path.dirname(dst), exist_ok=True)
+                shutil.copy2(src, dst)
+                n += 1
+    return n
+
+
 class FileLock:
     """Advisory lock-file around shared log writes
     (reference utils.py:482-560)."""

@@ -1,0 +1,72 @@
+"""Pallas fused sphere-conv kernel vs the XLA gather+conv reference path
+(interpret mode on CPU; the same kernel compiles on TPU)."""
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from spgan_tpu.geometry.sphere_grid import (sphere_offset_tables,
+                                            sphere_patch_grid)
+from spgan_tpu.ops.grid_sample import bilinear_grid_sample
+from spgan_tpu.ops.pallas.sphere_kernel import fused_sphere_conv
+
+
+def _conv_stride3(x, w):
+    return jax.lax.conv_general_dilated(
+        x, w, window_strides=(3, 3), padding=[(0, 0), (0, 0)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
+@pytest.mark.parametrize("hw,circ", [(35, 0.0), (17, 1.0), (29, 0.0)])
+def test_fused_kernel_matches_xla_path(hw, circ, rng):
+    H = W = hw
+    C, Cout, B = 16, 8, 2
+    x = jnp.asarray(rng.randn(B, H, W, C).astype(np.float32))
+    w = jnp.asarray(rng.randn(3, 3, C, Cout).astype(np.float32) * 0.1)
+
+    args = dict(p_x_st=0.1, p_x_ed=0.65, p_y_st=0.3, p_y_ed=0.85,
+                circular=circ, grid_partial=0.6667)
+    kw = dict(h=H, w=W, k=3, x_total=65, y_total=48)
+
+    # XLA reference: grid sample + stride-3 conv
+    grid = sphere_patch_grid(args["p_x_st"], args["p_x_ed"], args["p_y_st"],
+                             args["p_y_ed"], args["circular"],
+                             args["grid_partial"], **kw)
+    sampled = bilinear_grid_sample(x, jnp.tile(grid[None], (B, 1, 1, 1)))
+    want = _conv_stride3(sampled, w)
+
+    # fused kernel
+    t = sphere_offset_tables(args["p_x_st"], args["p_x_ed"], args["p_y_st"],
+                             args["p_y_ed"], args["circular"],
+                             args["grid_partial"], **kw)
+    tables = {k2: jnp.tile(v[None], (B, 1, 1)) for k2, v in t.items()}
+    w9 = w.reshape(9, C, Cout)
+    got = fused_sphere_conv(x, tables, w9, interpret=True)
+
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-4, rtol=1e-4)
+
+
+def test_offset_tables_reconstruct_grid(rng):
+    """The (y, x) offsets reconstruct the dense grid exactly."""
+    H = W = 35
+    kw = dict(h=H, w=W, k=3, x_total=65, y_total=48)
+    args = (0.05, 0.6, 0.2, 0.95, 0.0, 0.6667)
+    grid = np.asarray(sphere_patch_grid(*args, **kw))  # (H*3, W*3, 2)
+    t = jax.tree_util.tree_map(np.asarray,
+                               sphere_offset_tables(*args, **kw))
+    # dense pixel positions from the grid
+    px = (grid[..., 0] + 1) / 2 * (W - 1)
+    py = (grid[..., 1] + 1) / 2 * (H - 1)
+    for r in range(0, H, 7):
+        for ti in range(3):
+            for tj in range(3):
+                tt = ti * 3 + tj
+                row_px = px[r * 3 + ti, tj::3]
+                row_py = py[r * 3 + ti, tj::3]
+                # px == c + dx, py == r + dy (constants per row/tap)
+                np.testing.assert_allclose(
+                    row_px - np.arange(W), row_px[0] - 0, atol=1e-4)
+                np.testing.assert_allclose(row_py, row_py[0], atol=1e-4)
+                dx = t["sx"][r, tt] + t["fx"][r, tt]
+                np.testing.assert_allclose(row_px[0], dx, atol=1e-4)
