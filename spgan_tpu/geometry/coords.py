@@ -195,6 +195,41 @@ class CoordGrid:
             test_flag=False,
         )
 
+    def sample_training_extrap(self, key: jax.Array, batch: int, size: int):
+        """Training coords for windows larger than the constant field
+        (reference coord_handler.py:968-978: build fresh extrapolated grids
+        from random crop origins instead of slicing the field). Used by the
+        EXT2-FID generation path."""
+        kx, ky, kp = jax.random.split(key, 3)
+        x_st = jax.random.randint(kx, (batch,), 0, self.vert_sample_size)
+        y_st = jax.random.randint(ky, (batch,), 0, self.size_y)
+
+        def grid_for(xs, ys):
+            x = (jnp.arange(size) + xs) / (self.size_x - 1)
+            y = (jnp.arange(size) + ys) / (self.size_y - 1)
+            x = x - (x[-1] - 1.0) / 2.0
+            x = (x * 2.0 - 1.0) * self.vert_cut_pt
+            y = y * 2.0 - 1.0
+            xx = jnp.repeat(x[:, None], size, axis=1)
+            yy = jnp.repeat(y[None, :], size, axis=0)
+            return jnp.stack([xx, yy, yy], axis=-1)
+
+        coords = jax.vmap(grid_for)(x_st.astype(jnp.float32),
+                                    y_st.astype(jnp.float32))
+        pr = jnp.asarray(self.perturb_ranges())
+        jitter = (jax.random.uniform(kp, (pr.shape[0],)) * 2.0 - 1.0) * pr
+        coords = coords + jitter[None, None, None, :]
+        ac = self._ac_coords(x_st, y_st)
+        cp = CoordsPartial(
+            p_x_st=x_st / self.size_x,
+            p_x_ed=(x_st + size - 1) / self.size_x,
+            p_y_st=y_st / self.size_y,
+            p_y_ed=(y_st + size - 1) / self.size_y,
+            circular=jnp.zeros((batch,), bool),
+            x_total=self.size_x, y_total=self.size_y,
+            grid_partial=0.8, test_flag=False)
+        return coords, ac, cp
+
     # ---- test-time field ----------------------------------------------
     def test_field(self, height: int, width: int) -> np.ndarray:
         """Deterministic coordinate field over the full inference latent

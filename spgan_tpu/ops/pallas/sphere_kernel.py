@@ -36,7 +36,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _kernel(y0_ref, y1_ref, wy_ref, sx_ref, fx_ref, x_ref, w_ref, o_ref,
-            s_scratch, acc_scratch, *, H, W, M, K2, C, Cout):
+            row_scratch, s_scratch, acc_scratch, *, H, W, M, K2, C, Cout):
     # refs (leading block dim of 1 squeezed by indexing [0])
     for t in range(K2):  # static unroll over taps
         def row_body(r, _):
@@ -47,9 +47,12 @@ def _kernel(y0_ref, y1_ref, wy_ref, sx_ref, fx_ref, x_ref, w_ref, o_ref,
             fx = fx_ref[0, r, t]
             r0 = x_ref[0, y0]          # (Wp, C)
             r1 = x_ref[0, y1]
-            mix = r0 * (1.0 - wy) + r1 * wy
-            a = jax.lax.dynamic_slice(mix, (M + sx, 0), (W, C))
-            b = jax.lax.dynamic_slice(mix, (M + sx + 1, 0), (W, C))
+            # mix rows, stage into a ref so the column shift can be a
+            # ref-level dynamic slice (value-level dynamic_slice does not
+            # lower in Mosaic)
+            row_scratch[:] = r0 * (1.0 - wy) + r1 * wy
+            a = row_scratch[pl.ds(M + sx, W), :]
+            b = row_scratch[pl.ds(M + sx + 1, W), :]
             s_scratch[r] = a * (1.0 - fx) + b * fx
             return 0
 
@@ -105,6 +108,7 @@ def fused_sphere_conv(x: jnp.ndarray, tables: dict, w9: jnp.ndarray,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, H, W, Cout), x.dtype),
         scratch_shapes=[
+            pltpu.VMEM((Wp, C), jnp.float32),
             pltpu.VMEM((H, W, C), jnp.float32),
             pltpu.VMEM((H * W, Cout), jnp.float32),
         ],

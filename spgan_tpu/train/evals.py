@@ -28,13 +28,18 @@ def _inception_params():
 
 class TrainFID:
     """FID of EMA-generator patches vs the training set (is_fid_eval
-    semantics: training-style coord crops, no dual latents)."""
+    semantics: training-style coord crops, no dual latents).
+
+    ext2=True: the EXT2-FID variant (reference train.py:676-719) — generate
+    with a 2x-enlarged local latent field and center-crop to full_size,
+    compared against full training images."""
 
     def __init__(self, cfg: Config, g: Generator, pipeline,
-                 inception_params=None):
+                 inception_params=None, ext2: bool = False):
         self.cfg = cfg
         self.g = g
         self.pipeline = pipeline
+        self.ext2 = ext2
         self.inception_params = (inception_params
                                  if inception_params is not None
                                  else _inception_params())
@@ -44,16 +49,27 @@ class TrainFID:
             ts_input_size=tp.ts_input_size, ss_unfold_size=tp.ss_unfold_size,
             mixing=tp.mixing)
 
+        enlarge = 2 if ext2 else 1
+
         @jax.jit
         def gen(params_ema, key):
             kg, kl, kc, kn = jax.random.split(key, 4)
             b = tp.batch_size
             gl = self.sampler.sample_global(kg, b)
-            ll = self.sampler.sample_local(kl, b)
-            coords, _, cp = g.ss.coord_grid.sample_training(kc, b)
+            ll = self.sampler.sample_local(kl, b,
+                                           spatial_size_enlarge=enlarge)
+            if enlarge == 1:
+                coords, _, cp = g.ss.coord_grid.sample_training(kc, b)
+            else:
+                coords, _, cp = g.ss.coord_grid.sample_training_extrap(
+                    kc, b, ll.shape[1])
             out = g.apply(params_ema, global_latent=gl, local_latent=ll,
                           coords=coords, cp=cp, noise_rng=kn)
-            return out["gen"]
+            img = out["gen"]
+            if enlarge != 1 and img.shape[1] > tp.full_size:
+                p = (img.shape[1] - tp.full_size) // 2
+                img = img[:, p:p + tp.full_size, p:p + tp.full_size]
+            return img
 
         self._gen = gen
 
@@ -71,12 +87,15 @@ class TrainFID:
         n_batches = max(1, n // tp.batch_size)
         ev = FIDEvaluator(self.inception_params)
 
+        modality = "full" if self.ext2 else "patch"
+
         def real_batches():
             for _ in range(n_batches):
-                yield next(self.pipeline)["patch"]
+                yield next(self.pipeline)[modality]
 
-        key_dataset = (f"{self.cfg.data_params.dataset}-{tp.patch_size}"
-                       f"_spgan_tpu")
+        size_key = tp.full_size if self.ext2 else tp.patch_size
+        key_dataset = (f"{self.cfg.data_params.dataset}-{size_key}"
+                       f"{'-ext2' if self.ext2 else ''}_spgan_tpu")
         real = ev.real_stats(key_dataset, real_batches)
 
         def fake_batches():

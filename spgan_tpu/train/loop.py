@@ -110,6 +110,7 @@ def train(cfg: Config, debug: bool = False, seed: int = 0,
         return out["gen"]
 
     fid_eval = None
+    fid_ext2_eval = None
     if not debug and cfg.test_params.calc_fid:
         from spgan_tpu.train.evals import TrainFID
 
@@ -118,6 +119,13 @@ def train(cfg: Config, debug: bool = False, seed: int = 0,
             print(" [!] Inception weights not found (SPGAN_TPU_INCEPTION); "
                   "FID evaluation disabled.")
             fid_eval = None
+        elif cfg.test_params.calc_fid_ext2:
+            from spgan_tpu.data.pipeline import make_train_pipeline
+
+            fid_ext2_eval = TrainFID(
+                cfg, g, make_train_pipeline(cfg, seed=seed + 7,
+                                            include_full=True),
+                inception_params=fid_eval.inception_params, ext2=True)
 
     best_fid = float("inf")
     total = tp.iter if max_iters is None else min(tp.iter, max_iters)
@@ -167,6 +175,13 @@ def train(cfg: Config, debug: bool = False, seed: int = 0,
 
                     save_best(os.path.join(exp_root, "ckpt"), "best_fid",
                               jax.device_get(state))
+
+            if (fid_ext2_eval is not None and it % lp.fid_ext2_tick == 0
+                    and it > 0):
+                fid2 = fid_ext2_eval(state.params_g_ema,
+                                     jax.random.fold_in(key, it + 1))
+                if writer is not None:
+                    writer.add_scalar("metric/fid_ext2", fid2, it)
     except Exception:
         if not debug:
             os.makedirs(exp_root, exist_ok=True)
