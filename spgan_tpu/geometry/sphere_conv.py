@@ -69,18 +69,39 @@ class SphereStyledConv:
     def apply(self, params: dict, x: jnp.ndarray, style: jnp.ndarray,
               coords: jnp.ndarray, cp: CoordsPartial,
               grid: Optional[jnp.ndarray] = None,
-              grid_groups: int = 0) -> jnp.ndarray:
+              grid_groups: int = 0,
+              tables: Optional[dict] = None) -> jnp.ndarray:
         """x: (B,H,W,local_dim); coords: (B,H,W,coord_dim) RAW indices;
         style: (B,style_dim). Output: (B,H,W,out_ch) — size preserving
         (stride == kernel over the k-times-resampled map).
 
         grid_groups>0: `grid` is (G, 3H, 3W, 2), shared by B//G samples each
-        (fast batch-shared gather — see ops/grid_sample.py)."""
+        (fast batch-shared gather — see ops/grid_sample.py).
+        tables: per-sample row-offset tables -> use the fused Pallas kernel
+        for the latent channels (forward-only; inference path)."""
         b, h, w, _ = x.shape
         k = self.kernel_size
         if grid is None:
             grid = sphere_patch_grid_batch(cp, h, w, k)
         spec = self.conv_spec()
+        s = spec.style_scale(params["conv"], style)  # (B,in_ch)
+        wt = params["conv"]["weight"].astype(x.dtype) * spec.scale
+        demod = spec.demod_factors(params["conv"], s).astype(x.dtype)
+        s = s.astype(x.dtype)
+
+        if tables is not None:
+            from spgan_tpu.ops.pallas.sphere_kernel import fused_sphere_conv
+
+            ld = self.local_dim
+            w9 = wt.reshape(k * k, spec.in_ch, self.out_ch)
+            y_main = fused_sphere_conv(
+                x * s[:, None, None, :ld], tables, w9[:, :ld])
+            cs = st_grid_sample_3x3(coords.astype(x.dtype), grid, grid_groups)
+            enc = encode_coords(cs, self.coord_dim).astype(x.dtype)
+            enc = enc * s[:, None, None, ld:]
+            y_coords = _conv_stride_k(
+                enc, wt[:, :, ld:, :], k)
+            return (y_main.astype(x.dtype) + y_coords) * demod[:, None, None]
 
         both = jnp.concatenate([x, coords.astype(x.dtype)], axis=-1)
         sampled = st_grid_sample_3x3(both, grid, grid_groups)  # (B,3H,3W,in)
@@ -88,10 +109,7 @@ class SphereStyledConv:
         s_c = encode_coords(sampled[..., self.local_dim:], self.coord_dim)
         sampled = jnp.concatenate([s_x, s_c.astype(x.dtype)], axis=-1)
 
-        s = spec.style_scale(params["conv"], style)  # (B,in_ch)
-        wt = params["conv"]["weight"].astype(x.dtype) * spec.scale
-        demod = spec.demod_factors(params["conv"], s).astype(x.dtype)
-        y = _conv_stride_k(sampled * s[:, None, None, :].astype(x.dtype), wt, k)
+        y = _conv_stride_k(sampled * s[:, None, None, :], wt, k)
         return y * demod[:, None, None, :]
 
 

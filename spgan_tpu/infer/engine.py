@@ -38,6 +38,7 @@ class PanoramaEngine:
     patch_chunk: int = 4
     grid_partial: float = 0.6667
     compute_dtype: str = "float32"
+    use_pallas: Optional[bool] = None  # default: on for TPU backends
 
     def __post_init__(self):
         p = self.plan.num_patches
@@ -47,6 +48,8 @@ class PanoramaEngine:
                 if p % c == 0:
                     self.patch_chunk = c
                     break
+        if self.use_pallas is None:
+            self.use_pallas = jax.default_backend() == "tpu"
         self._coords_field = jnp.asarray(
             self.g.ss.coord_grid.test_field(self.plan.z_field_h,
                                             self.plan.z_field_w))
@@ -138,10 +141,24 @@ class PanoramaEngine:
                 p_y_st=cps[:, 2], p_y_ed=cps[:, 3], circular=cps[:, 4],
                 x_total=plan.x_total, y_total=plan.y_total,
                 grid_partial=self.grid_partial, test_flag=True)
-            from spgan_tpu.geometry.sphere_grid import sphere_patch_grid_batch
+            from spgan_tpu.geometry.sphere_grid import (
+                sphere_offset_tables, sphere_patch_grid_batch)
 
             ss_sizes = g.ss.layer_sizes(win)
             ss_grids = [sphere_patch_grid_batch(cp, s, s) for s in ss_sizes]
+            tables_list = None
+            if self.use_pallas:
+                def tab(sz):
+                    fn = lambda a, b2, c2, d, e: sphere_offset_tables(
+                        a, b2, c2, d, e, self.grid_partial, h=sz, w=sz, k=3,
+                        x_total=plan.x_total, y_total=plan.y_total)
+                    t = jax.vmap(fn)(cp.p_x_st, cp.p_x_ed, cp.p_y_st,
+                                     cp.p_y_ed, cp.circular)
+                    # one table per position -> per folded sample
+                    return {k2: jnp.repeat(v, B, axis=0)
+                            for k2, v in t.items()}
+
+                tables_list = [tab(s) for s in ss_sizes]
             _, _, i2j = g.ts.plan()
             skip_sizes = [out_sizes[src - 2] for src in sorted(i2j)]
             skip_grids = [sphere_patch_grid_batch(cp, s, s)
@@ -151,7 +168,8 @@ class PanoramaEngine:
             styles_t = jnp.tile(styles, (chunk, 1, 1)).astype(cdt)
 
             structure = g.ss.apply(params["ss"], gz_t, zw, cw, cp,
-                                   grids=ss_grids, grid_groups=chunk)
+                                   grids=ss_grids, grid_groups=chunk,
+                                   tables_list=tables_list)
             img = g.ts.synthesize(params["ts"], structure, styles_t, cp,
                                   noises=layer_noises, skip_grids=skip_grids,
                                   grid_groups=chunk)

@@ -142,7 +142,8 @@ class StructureSynthesizer:
               local_latent: jnp.ndarray, coords: jnp.ndarray,
               cp: CoordsPartial,
               grids: Optional[Sequence[jnp.ndarray]] = None,
-              grid_groups: int = 0) -> jnp.ndarray:
+              grid_groups: int = 0,
+              tables_list: Optional[Sequence[dict]] = None) -> jnp.ndarray:
         """global_z: (B, global_dim) RAW z (ss_mapping is off in the shipped
         config — the SS styled convs are modulated by unmapped z,
         spgan.py:1342-1343); local_latent: (B,S,S,local_dim);
@@ -154,8 +155,9 @@ class StructureSynthesizer:
             hh, hw = h.shape[1], h.shape[2]
             c = _center_crop(coords, hh, hw)
             grid = None if grids is None else grids[i]
+            tbl = None if tables_list is None else tables_list[i]
             y = sphere.apply(blk["sphere"], h, global_z, c, cp, grid=grid,
-                             grid_groups=grid_groups)
+                             grid_groups=grid_groups, tables=tbl)
             y = jax.nn.leaky_relu(y, 0.01)  # LeakyReLU_n (gs StyledConv)
             h = y + _plain_conv1x1(blk["sc"], h)
             c = _center_crop(coords, h.shape[1], h.shape[2])

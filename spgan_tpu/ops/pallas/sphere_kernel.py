@@ -47,12 +47,12 @@ def _kernel(y0_ref, y1_ref, wy_ref, sx_ref, fx_ref, x_ref, w_ref, o_ref,
             fx = fx_ref[0, r, t]
             r0 = x_ref[0, y0]          # (Wp, C)
             r1 = x_ref[0, y1]
-            # mix rows, stage into a ref so the column shift can be a
-            # ref-level dynamic slice (value-level dynamic_slice does not
-            # lower in Mosaic)
-            row_scratch[:] = r0 * (1.0 - wy) + r1 * wy
-            a = row_scratch[pl.ds(M + sx, W), :]
-            b = row_scratch[pl.ds(M + sx + 1, W), :]
+            # mix rows, stage into a (Wp, 1, C) ref: the shifted dim is the
+            # UNTILED leading dim, where Mosaic allows arbitrary dynamic
+            # slices (the sublane dim would demand 8-aligned starts)
+            row_scratch[:, 0, :] = r0 * (1.0 - wy) + r1 * wy
+            a = row_scratch[pl.ds(M + sx, W)][:, 0, :]
+            b = row_scratch[pl.ds(M + sx + 1, W)][:, 0, :]
             s_scratch[r] = a * (1.0 - fx) + b * fx
             return 0
 
@@ -66,13 +66,18 @@ def _kernel(y0_ref, y1_ref, wy_ref, sx_ref, fx_ref, x_ref, w_ref, o_ref,
     o_ref[0] = acc_scratch[:].reshape(H, W, Cout).astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("margin", "interpret"))
 def fused_sphere_conv(x: jnp.ndarray, tables: dict, w9: jnp.ndarray,
-                      margin: int = 6, interpret: bool = False) -> jnp.ndarray:
+                      margin: int = 6,
+                      interpret: Optional[bool] = None) -> jnp.ndarray:
     """x: (B,H,W,C) [pre-scaled by the per-sample style]; tables: dict of
     (B,H,K2) arrays from sphere_offset_tables (per sample); w9: (K2,C,Cout)
     [pre-scaled shared weight].  Returns (B,H,W,Cout) before demodulation.
     """
+    if interpret is None:
+        import os
+
+        interpret = (os.environ.get("SPGAN_PALLAS_INTERPRET") == "1"
+                     or jax.default_backend() != "tpu")
     B, H, W, C = x.shape
     K2, _, Cout = w9.shape
     M = margin
@@ -108,7 +113,7 @@ def fused_sphere_conv(x: jnp.ndarray, tables: dict, w9: jnp.ndarray,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, H, W, Cout), x.dtype),
         scratch_shapes=[
-            pltpu.VMEM((Wp, C), jnp.float32),
+            pltpu.VMEM((Wp, 1, C), jnp.float32),
             pltpu.VMEM((H, W, C), jnp.float32),
             pltpu.VMEM((H * W, Cout), jnp.float32),
         ],
