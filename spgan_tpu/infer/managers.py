@@ -66,6 +66,70 @@ class BaseManager:
             grid_partial=self.config.train_params.partial,
             compute_dtype=self.config.train_params.compute_dtype)
 
+    # ---- TestingVars integration --------------------------------------
+    def create_vars(self, key: jax.Array):
+        """Sample the inference state bag (reference create_vars,
+        close_loop_infinite_generation.py:84-168)."""
+        from spgan_tpu.infer.testing_vars import TestingVars
+
+        gl, z_field, noises = self.engine.sample_fields(key)
+        return TestingVars(
+            meta_img=None,
+            global_latent=np.asarray(gl),
+            local_latent=np.asarray(z_field),
+            meta_coords=np.asarray(self.engine._coords_field),
+            noises=[np.asarray(n) for n in noises])
+
+    def generate_with_vars(self, vars) -> np.ndarray:
+        """Full generation from an (edited) TestingVars bag."""
+        import jax.numpy as jnp
+
+        meta = self.engine.generate_from_fields(
+            self.params_ema, jnp.asarray(vars.global_latent),
+            jnp.asarray(vars.local_latent),
+            [jnp.asarray(n) for n in vars.noises])
+        vars.meta_img = np.asarray(meta)
+        return vars.meta_img
+
+    def regenerate(self, vars, update_by_ss_map: Optional[np.ndarray] = None
+                   ) -> np.ndarray:
+        """Interactive partial update: recompute the lattice but only write
+        patches whose latent window overlaps the selection map (z-space,
+        (zh, zw) 0/1).  Untouched regions keep their previous pixels —
+        matching the reference's update-map semantics
+        (base_test_manager.py:330, close_loop:214-223)."""
+        import jax.numpy as jnp
+
+        assert vars.meta_img is not None, "generate_with_vars first"
+        vars.meta_img = np.array(vars.meta_img)  # ensure writable copy
+        plan = self.engine.plan
+        patches = np.asarray(self.engine._generate_patches(
+            self.params_ema, jnp.asarray(vars.global_latent),
+            jnp.asarray(vars.local_latent),
+            [jnp.asarray(n) for n in vars.noises]))
+        win = plan.window
+        patch_sz = plan.geom.outfeat_sizes[-1]
+        meta = vars.meta_img
+        for p in range(plan.num_patches):
+            zr, zc = int(plan.z_starts[p, 0]), int(plan.z_starts[p, 1])
+            if update_by_ss_map is not None:
+                zw_total = vars.local_latent.shape[2]
+                cols = [(zc + d) % zw_total for d in range(win)]
+                sel = update_by_ss_map[zr:zr + win][:, cols]
+                if not (sel > 0).any():
+                    continue
+            r, c_raw = int(plan.img_starts[p, 0]), int(plan.img_starts[p, 1])
+            c = c_raw % plan.meta_w if plan.close_loop else c_raw
+            patch = patches[p]
+            if c + patch_sz <= plan.meta_w:
+                meta[:, r:r + patch_sz, c:c + patch_sz] = patch
+            else:
+                split = plan.meta_w - c
+                meta[:, r:r + patch_sz, c:] = patch[:, :, :split]
+                meta[:, r:r + patch_sz, :patch_sz - split] = patch[:, :, split:]
+        vars.meta_img = meta
+        return meta
+
     def run_next(self, key: jax.Array, save: bool = True,
                  write_gpu_time: bool = False) -> np.ndarray:
         t0 = time.perf_counter() if write_gpu_time else None

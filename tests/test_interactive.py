@@ -1,0 +1,48 @@
+"""Interactive editing flow: create vars -> generate -> edit region ->
+regenerate only overlapping patches."""
+import numpy as np
+import jax
+
+from spgan_tpu.config import Config
+from spgan_tpu.infer.managers import CloseLoopPanoramaManager
+from spgan_tpu.models.generator import Generator
+
+
+def test_interactive_region_update():
+    cfg = Config()
+    tp = cfg.train_params
+    tp.global_latent_dim = 32
+    tp.local_latent_dim = 16
+    tp.channel_multiplier = 1
+    tp.n_mlp = 2
+    tp.ss_n_layers = 2
+    cfg.task.height, cfg.task.width = 128, 672
+    cfg.task.batch_size = 1
+    g = Generator.from_config(cfg)
+    object.__setattr__(g.ts, "channel_base", 48)
+    params = g.init(jax.random.PRNGKey(0))
+
+    mgr = CloseLoopPanoramaManager(g=g, params_ema=params, config=cfg)
+    mgr.task_specific_init()
+
+    tv = mgr.create_vars(jax.random.PRNGKey(1))
+    img1 = mgr.generate_with_vars(tv).copy()
+
+    # edit a small latent region and regenerate with a matching update map
+    zh, zw = tv.local_latent.shape[1:3]
+    sel = np.zeros((zh, zw))
+    sel[:6, :6] = 1
+    rng = np.random.RandomState(0)
+    new_z = tv.local_latent.copy()
+    new_z[:, :6, :6] = rng.randn(1, 6, 6, new_z.shape[-1])
+    tv.update_local_latent(new_z, sel)
+
+    img2 = mgr.regenerate(tv, update_by_ss_map=sel)
+    assert not np.array_equal(img1, img2)
+    # far-away rows (not covered by any selected window) must be untouched
+    plan = mgr.engine.plan
+    safe_row_start = (6 + plan.window) // plan.geom.latentspace_step + 1
+    px_safe = (safe_row_start + 1) * plan.geom.pixelspace_step
+    if px_safe < plan.meta_h - 101:
+        np.testing.assert_array_equal(img1[:, px_safe + 101:],
+                                      img2[:, px_safe + 101:])
