@@ -29,6 +29,8 @@ def main():
     ap.add_argument("--num-gen", type=int, default=None)
     ap.add_argument("--seed", type=int, default=None)
     ap.add_argument("--save-root", default=None)
+    ap.add_argument("--inter-ckpt", action="store_true",
+                    help="dump TestingVars (.npz) next to each saved batch")
     ap.add_argument("--debug", action="store_true")
     args = ap.parse_args()
 
@@ -82,8 +84,20 @@ def main():
     key = jax.random.PRNGKey(seed)
     for i in range(n_batches):
         key, k = jax.random.split(key)
-        manager.run_next(k, save=not args.speed_benchmark,
-                         write_gpu_time=args.speed_benchmark)
+        if args.inter_ckpt:
+            tv = manager.create_vars(k)
+            out = manager.generate_with_vars(tv)
+            os.makedirs(save_root, exist_ok=True)
+            tv.save(os.path.join(save_root,
+                                 f"{manager.cur_global_id:06d}_vars.npz"))
+            from spgan_tpu.infer.managers import save_image_batch
+
+            cropped = np.asarray(manager.engine.crop_to_target(out))
+            save_image_batch(cropped, save_root, manager.cur_global_id)
+            manager.cur_global_id += cropped.shape[0]
+        else:
+            manager.run_next(k, save=not args.speed_benchmark,
+                             write_gpu_time=args.speed_benchmark)
         if args.debug:
             break
 

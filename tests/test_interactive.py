@@ -46,3 +46,16 @@ def test_interactive_region_update():
     if px_safe < plan.meta_h - 101:
         np.testing.assert_array_equal(img1[:, px_safe + 101:],
                                       img2[:, px_safe + 101:])
+
+
+def test_save_image_batch(tmp_path):
+    from spgan_tpu.infer.managers import save_image_batch
+
+    rng = np.random.RandomState(0)
+    imgs = rng.uniform(-1, 1, (3, 16, 24, 3)).astype(np.float32)
+    paths = save_image_batch(imgs, str(tmp_path), start_id=7)
+    assert [p.endswith("000007.png") for p in paths][0]
+    from PIL import Image
+
+    back = np.asarray(Image.open(paths[1]))
+    assert back.shape == (16, 24, 3)

@@ -108,3 +108,14 @@ def test_coords_partial_training_stats():
     assert float(np.asarray(cp.p_x_ed).max()) <= 1.0
     a = np.asarray(ac)
     assert a.min() >= -1.0001 and a.max() <= 1.0001
+
+
+def test_global_sphere_conv():
+    from spgan_tpu.geometry.global_conv import GlobalSphereConv2d
+
+    spec = GlobalSphereConv2d(in_ch=8, out_ch=4, kernel_size=3)
+    params = spec.init(jax.random.PRNGKey(0))
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 16, 32, 8))
+    y = spec.apply(params, x)
+    assert y.shape == (2, 16, 32, 4)
+    assert np.isfinite(np.asarray(y)).all()
