@@ -456,3 +456,33 @@ class Generator:
             out["diversity_z_loss"] = self.ss.diversity_z_loss(
                 local_latent, structure_latent)
         return out
+
+    def get_to_rgb(self, params: dict, **kwargs) -> Dict[str, jnp.ndarray]:
+        """Debug variant returning the per-skip RGB intermediates
+        (reference InfinityGanGenerator.get_to_RGB, spgan.py:1445-1583 /
+        TextureSynthesizer.get_to_RGB :988-1160)."""
+        assert kwargs.get("structure_latent") is not None or (
+            kwargs.get("local_latent") is not None)
+        gl = kwargs.get("global_latent")
+        cp = kwargs.get("cp")
+        structure_latent = kwargs.get("structure_latent")
+        if structure_latent is None:
+            structure_latent = self.ss.apply(
+                params["ss"], gl[:, 0], kwargs["local_latent"],
+                kwargs["coords"], cp)
+        styles = kwargs.get("styles")
+        if styles is None:
+            styles = self.build_styles(params, gl, kwargs.get("inject_index"))
+        img, feats = self.ts.synthesize(
+            params["ts"], structure_latent, styles, cp,
+            noises=kwargs.get("noises"), rng=kwargs.get("noise_rng"),
+            return_feats=True)
+        feats["patch"] = img
+        return feats
+
+    def mean_latent(self, params: dict, key: jax.Array,
+                    n: int = 4096) -> jnp.ndarray:
+        return self.ts.mean_latent(params["ts"], key, n)
+
+    def get_style(self, params: dict, z: jnp.ndarray) -> jnp.ndarray:
+        return self.ts.mapping(params["ts"], z)

@@ -119,3 +119,15 @@ def test_global_sphere_conv():
     y = spec.apply(params, x)
     assert y.shape == (2, 16, 32, 4)
     assert np.isfinite(np.asarray(y)).all()
+
+
+def test_get_to_rgb_debug_variant(gen_setup):
+    cfg, g, params = gen_setup
+    gl, ll, coords, ac, cp, kn = _sample_inputs(cfg, g)
+    feats = g.get_to_rgb(params, global_latent=gl, local_latent=ll,
+                         coords=coords, cp=cp, noise_rng=kn)
+    assert feats["patch"].shape == (4, 101, 101, 3)
+    # sphere skips recorded at conv indices {3,5,7}
+    for i in (3, 5, 7):
+        assert f"to_rgb_{i}" in feats and f"sphere_to_rgb_{i}" in feats
+        assert feats[f"to_rgb_{i}"].shape == feats[f"sphere_to_rgb_{i}"].shape
