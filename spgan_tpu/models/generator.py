@@ -42,6 +42,15 @@ from spgan_tpu.ops.spatial import ConvSpec, derive_stitch_geometry
 # helpers
 # ----------------------------------------------------------------------
 
+def create_fusion_styles(fusion_map: jnp.ndarray, styles) -> jnp.ndarray:
+    """(B,N,H,W) region-weight maps + N style centers (B,D) -> spatially
+    fused style (B,H,W,D) (reference spgan.py:30-47)."""
+    fused = 0.0
+    for i, st in enumerate(styles):
+        fused = fused + fusion_map[:, i][..., None] * st[:, None, None, :]
+    return fused
+
+
 def pair_inputs(x: jnp.ndarray) -> jnp.ndarray:
     """[A,B,C,D] -> [A,A,C,C] (reference setup_paired_inputs, spgan.py:50-63).
     Assumes even batch (the shipped batch is 16)."""
@@ -328,6 +337,13 @@ class TextureSynthesizer:
         conv_specs = self._styled_convs()
         rgb_specs = self._to_rgbs()
 
+        def style_at(idx):
+            # styles: (B, n_latent, D) array, or a per-layer list whose
+            # entries may be (B,D) vectors or (B,H,W,D) fused spatial styles
+            if isinstance(styles, (list, tuple)):
+                return styles[idx]
+            return styles[:, idx]
+
         h = structure_latent
         skip = None
         feats = {}
@@ -338,7 +354,7 @@ class TextureSynthesizer:
             layer_rng = None
             if noise is None and rng is not None:
                 layer_rng = jax.random.fold_in(rng, i)
-            h = spec.apply(params["convs"][i], h, styles[:, i], noise=noise,
+            h = spec.apply(params["convs"][i], h, style_at(i), noise=noise,
                            rng=layer_rng)
             t = to_rgbs[cur_rgb]
             if i == t["src"]:
@@ -352,7 +368,7 @@ class TextureSynthesizer:
                     if return_feats:
                         feats[f"sphere_to_rgb_{i}"] = skip
                 skip = rgb_specs[cur_rgb].apply(
-                    params["to_rgbs"][cur_rgb], h, styles[:, t["tgt"]], skip)
+                    params["to_rgbs"][cur_rgb], h, style_at(t["tgt"]), skip)
                 cur_rgb += 1
         if return_feats:
             return skip, feats

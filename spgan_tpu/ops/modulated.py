@@ -134,13 +134,54 @@ class ModulatedConv2d:
         denom = jnp.einsum("bi,io->bo", jnp.square(s), w2)
         return jax.lax.rsqrt(denom + self.eps)
 
+    def apply_spatial_style(self, params: dict, x: jnp.ndarray,
+                            style: jnp.ndarray) -> jnp.ndarray:
+        """Spatially-shaped styles for style-fusion generation
+        (reference models/ops.py:637-726): style (B,Hs,Ws,style_dim) is
+        center-cropped to x, modulation applied pointwise, demodulation
+        estimated per pixel — exactly the reference's scale-input path."""
+        style = align_spatial(style, x)
+        sb, sh, sw, _ = style.shape
+        mod = self.modulation_spec()
+        s_map = mod.apply(params["modulation"],
+                          style.reshape(-1, self.style_dim))
+        s_map = s_map.reshape(sb, sh, sw, self.in_ch)
+        xs = x * s_map.astype(x.dtype)
+        w = params["weight"].astype(x.dtype) * self.scale
+        if self.demodulate:
+            w2 = jnp.sum(jnp.square(w), axis=(0, 1))  # (in, out)
+            demod = jax.lax.rsqrt(
+                jnp.einsum("bhwi,io->bhwo", jnp.square(s_map), w2) + self.eps
+            ).astype(x.dtype)
+        if self.upsample:
+            y = _conv_transpose2(xs, w)
+            y = y[:, 1:-1, 1:-1, :]
+            if self.demodulate:
+                # reference interpolates the per-pixel demod map to the
+                # upsampled size (ops.py:707-713, align_corners=True)
+                from spgan_tpu.infer.calibrate import resize_align_corners
+
+                demod = resize_align_corners(demod, y.shape[1], y.shape[2])
+                y = y * demod.astype(x.dtype)
+            return self._blur()(y)
+        y = _conv(xs, w, padding=self.padding)
+        if self.demodulate:
+            if self.padding == 0:
+                d0, d1 = self.dirty_rm_size
+                demod = demod[:, d0:sh - d0, d1:sw - d1]
+            y = y * demod
+        return y
+
     def apply(self, params: dict, x: jnp.ndarray, style: jnp.ndarray) -> jnp.ndarray:
-        """x: (B,H,W,in_ch) NHWC; style: (B,style_dim) or (B,in_ch) pre-mod.
+        """x: (B,H,W,in_ch) NHWC; style: (B,style_dim) or (B,in_ch) pre-mod,
+        or (B,Hs,Ws,style_dim) spatially-shaped (style fusion).
 
         Returns NHWC output; spatial size follows the reference's no-pad
         algebra (upsample: 2H-1-2 after blur for blur_kernel len 3; plain:
         H - 2*(k//2) when no_zero_pad).
         """
+        if style.ndim == 4:
+            return self.apply_spatial_style(params, x, style)
         s = self.style_scale(params, style) if style.shape[-1] == self.style_dim \
             else style
         w = params["weight"].astype(x.dtype) * self.scale

@@ -131,3 +131,27 @@ def test_get_to_rgb_debug_variant(gen_setup):
     for i in (3, 5, 7):
         assert f"to_rgb_{i}" in feats and f"sphere_to_rgb_{i}" in feats
         assert feats[f"to_rgb_{i}"].shape == feats[f"sphere_to_rgb_{i}"].shape
+
+
+def test_style_fusion_synthesis(gen_setup):
+    """Spatial style fusion: per-layer fused styles drive the TS (reference
+    style_fusion_map path, spgan.py:886-916)."""
+    from spgan_tpu.models.generator import create_fusion_styles
+
+    cfg, g, params = gen_setup
+    gl, ll, coords, ac, cp, kn = _sample_inputs(cfg, g, batch=2)
+    structure = g.ss.apply(params["ss"], gl[:2, 0], ll[:2], coords[:2],
+                           jax.tree_util.tree_map(lambda v: v[:2] if hasattr(v, "shape") and v.ndim else v, cp))
+    w1 = g.ts.mapping(params["ts"], gl[:2, 0])
+    w2 = g.ts.mapping(params["ts"], gl[:2, 1])
+    # left half style 1, right half style 2, at a generous feature size
+    n = g.ts.n_latent
+    fused_styles = []
+    for _ in range(n):
+        half = jnp.concatenate([jnp.ones((2, 1, 129, 65)),
+                                jnp.zeros((2, 1, 129, 64))], axis=3)
+        fm = jnp.concatenate([half, 1.0 - half], axis=1)  # (2,2,129,129)
+        fused_styles.append(create_fusion_styles(fm, [w1, w2]))
+    img = g.ts.synthesize(params["ts"], structure, fused_styles, cp)
+    assert img.shape == (2, 101, 101, 3)
+    assert np.isfinite(np.asarray(img)).all()

@@ -204,3 +204,44 @@ def test_torgb_skip(rng):
                                 jnp.asarray(skip)))
     # upsampled skip: 2*5-1 = 9 == out spatial
     assert out.shape == (2, 9, 9, 3)
+
+
+def test_spatial_style_mono_equals_vector(rng):
+    """A spatially-constant 4-D style must reproduce the vector-style path
+    exactly (reference falls back via is_mono_style, ops.py:591-595; the
+    scale-input math makes them identical by construction)."""
+    spec = ModulatedConv2d(in_ch=8, out_ch=6, kernel_size=3, style_dim=12,
+                           demodulate=True, no_zero_pad=True)
+    params = spec.init(jax.random.PRNGKey(4))
+    x = jnp.asarray(rng.randn(2, 9, 9, 8).astype(np.float32))
+    sv = rng.randn(2, 12).astype(np.float32)
+    s4 = jnp.tile(jnp.asarray(sv)[:, None, None, :], (1, 9, 9, 1))
+    a = np.asarray(spec.apply(params, x, jnp.asarray(sv)))
+    b = np.asarray(spec.apply(params, x, s4))
+    np.testing.assert_allclose(a, b, atol=2e-5)
+
+    up = ModulatedConv2d(in_ch=8, out_ch=6, kernel_size=3, style_dim=12,
+                         demodulate=True, upsample=True, no_zero_pad=True)
+    pu = up.init(jax.random.PRNGKey(5))
+    a = np.asarray(up.apply(pu, x, jnp.asarray(sv)))
+    b = np.asarray(up.apply(pu, x, s4))
+    np.testing.assert_allclose(a, b, atol=2e-4)
+
+
+def test_spatial_style_fusion_varies(rng):
+    spec = ModulatedConv2d(in_ch=8, out_ch=6, kernel_size=3, style_dim=12,
+                           demodulate=True, no_zero_pad=True)
+    params = spec.init(jax.random.PRNGKey(6))
+    x = jnp.asarray(rng.randn(1, 9, 9, 8).astype(np.float32))
+    s1 = rng.randn(1, 12).astype(np.float32)
+    s2 = rng.randn(1, 12).astype(np.float32)
+    fused = jnp.concatenate([
+        jnp.tile(jnp.asarray(s1)[:, None, None], (1, 9, 5, 1)),
+        jnp.tile(jnp.asarray(s2)[:, None, None], (1, 9, 4, 1)),
+    ], axis=2)
+    out = np.asarray(spec.apply(params, x, fused))
+    left = np.asarray(spec.apply(params, x, jnp.asarray(s1)))
+    right = np.asarray(spec.apply(params, x, jnp.asarray(s2)))
+    # interior of each half matches the corresponding pure style
+    np.testing.assert_allclose(out[:, :, :2], left[:, :, :2], atol=1e-5)
+    np.testing.assert_allclose(out[:, :, -2:], right[:, :, -2:], atol=1e-5)
