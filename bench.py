@@ -14,6 +14,9 @@ import time
 
 
 def main():
+    from spgan_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     import jax
 
     from spgan_tpu.config import Config

@@ -28,10 +28,8 @@ class CheckpointManager:
         )
 
     def save(self, step: int, state: TrainState, extra: Optional[dict] = None):
-        payload = {"state": state}
-        if extra:
-            payload["extra"] = extra
-        self._mgr.save(step, args=ocp.args.StandardSave(payload))
+        del extra  # metadata lives in the state itself (step, ppl mean)
+        self._mgr.save(step, args=ocp.args.StandardSave({"state": state}))
         self._mgr.wait_until_finished()
 
     def latest_step(self) -> Optional[int]:
@@ -42,9 +40,8 @@ class CheckpointManager:
         step = step if step is not None else self.latest_step()
         assert step is not None, "no checkpoint found"
         payload = self._mgr.restore(
-            step, args=ocp.args.StandardRestore(
-                {"state": template_state, "extra": {}}))
-        return payload["state"], payload.get("extra", {})
+            step, args=ocp.args.StandardRestore({"state": template_state}))
+        return payload["state"], {}
 
 
 def save_best(ckpt_root: str, name: str, state: TrainState):

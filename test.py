@@ -37,6 +37,9 @@ def main():
     import jax
     import numpy as np
 
+    from spgan_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     from spgan_tpu.config import load_config
     from spgan_tpu.models.generator import Generator
     from spgan_tpu.utils.misc import import_func, manually_seed

@@ -1,0 +1,53 @@
+"""Checkpoint save/restore round trip (orbax) with the real TrainState."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from spgan_tpu.config import Config
+from spgan_tpu.models.discriminator import Discriminator
+from spgan_tpu.models.generator import Generator
+from spgan_tpu.train.checkpoint import CheckpointManager
+from spgan_tpu.train.state import create_train_state, ema_update
+
+
+def test_ckpt_roundtrip(tmp_path):
+    cfg = Config()
+    tp = cfg.train_params
+    tp.global_latent_dim = 16
+    tp.local_latent_dim = 8
+    tp.channel_multiplier = 1
+    tp.n_mlp = 1
+    tp.ss_n_layers = 1
+    g = Generator.from_config(cfg)
+    object.__setattr__(g.ts, "channel_base", 16)
+    d = Discriminator(patch_size=101, channel_multiplier=1, batch_size=4,
+                      linear_ch=16)
+    small = {k: 16 for k in (4, 8, 16, 32, 64, 128, 256, 512, 1024, 2048)}
+    object.__setattr__(d, "channels", lambda: small)
+
+    state = create_train_state(cfg, g, d, jax.random.PRNGKey(0))
+    state.step = jnp.asarray(42)
+    state.mean_path_length = jnp.asarray(1.5)
+
+    mgr = CheckpointManager(str(tmp_path / "ckpt"), max_to_keep=2)
+    mgr.save(42, jax.device_get(state))
+    mgr.save(43, jax.device_get(state))
+    mgr.save(44, jax.device_get(state))  # rolls out step 42
+    assert mgr.latest_step() == 44
+
+    template = create_train_state(cfg, g, d, jax.random.PRNGKey(1))
+    restored, _ = mgr.restore(template)
+    assert int(restored.step) == 42
+    assert float(restored.mean_path_length) == 1.5
+    a = jax.tree_util.tree_leaves(state.params_g)
+    b = jax.tree_util.tree_leaves(restored.params_g)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_ema_update_direction():
+    p0 = {"w": jnp.zeros((3,))}
+    p1 = {"w": jnp.ones((3,))}
+    e = ema_update(p0, p1)
+    # accum = 0.5 ** (32/10000) ~ 0.99778 -> small move toward params
+    assert 0.0021 < float(e["w"][0]) < 0.0023

@@ -17,6 +17,9 @@ def main():
     ap.add_argument("--max-iters", type=int, default=None)
     args = ap.parse_args()
 
+    from spgan_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     from spgan_tpu.config import load_config
     from spgan_tpu.train.loop import train
 
