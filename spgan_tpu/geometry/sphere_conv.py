@@ -45,7 +45,17 @@ class SphereStyledConv:
 
     in_ch counts the coord channels (local_dim + coord_dim), matching the
     reference where the identity-init weight and the modulation span the
-    concatenated channels (models/spgan/spgan.py:135-154)."""
+    concatenated channels (models/spgan/spgan.py:135-154).
+
+    DELIBERATE DIVERGENCE (documented, tested): for batch > 1 the reference's
+    deal_coords path concatenates (1, B*local) sampled latents with (1, B*3)
+    encoded coords and runs a groups=B conv (spgan_ops_gs.py:791-814) — the
+    group boundaries then cross sample boundaries, so each sample's "coord"
+    input slots actually receive the *next sample's* latent channels and
+    outputs depend on batch composition.  This implementation computes the
+    intended per-sample semantics ([own latents, own coords] per group),
+    which coincide with the reference exactly at batch 1 (verified
+    end-to-end by tests/test_reference_forward_parity.py)."""
 
     local_dim: int
     coord_dim: int
