@@ -142,6 +142,55 @@ def import_torch_generator(state_dict: Dict, g,
         lambda x: jnp.asarray(x, jnp.float32), params)
 
 
+def import_torch_discriminator(state_dict: Dict, d) -> dict:
+    """Reference StyleGan2Discriminator state dict -> spgan_tpu D params.
+
+    Name map (reference models/stylegan2discriminator.py):
+      convs.0.{0.weight, 1.bias}          stem EqualConv2d + FusedLeakyReLU
+      convs.{i}.conv{1,2}.*, .skip.*      ResBlocks (conv2/skip contain the
+                                          blur at idx 0, conv at idx 1)
+      final_conv.{0.weight, 1.bias}
+      final_linear.{0,1}.{weight,bias}
+      coord_linear.{0,1}.{weight,bias}
+    """
+    sd = {k.replace("module.", "", 1) if k.startswith("module.") else k: v
+          for k, v in state_dict.items()}
+
+    def conv_w(key):
+        return _t(sd[key]).transpose(2, 3, 1, 0)
+
+    def conv_layer(prefix, downsample=False, activate=True, bias=True):
+        # Sequential indices: [Blur,] EqualConv2d [, FusedLeakyReLU]
+        ci = 1 if downsample else 0
+        out = {"conv": {"weight": conv_w(f"{prefix}.{ci}.weight")}}
+        if f"{prefix}.{ci}.bias" in sd:
+            out["conv"]["bias"] = _t(sd[f"{prefix}.{ci}.bias"])
+        if activate and f"{prefix}.{ci + 1}.bias" in sd:
+            out["act_bias"] = _t(sd[f"{prefix}.{ci + 1}.bias"])
+        return out
+
+    stem, blocks, final_conv, flat = d.plan()
+    params: dict = {"stem": conv_layer("convs.0")}
+    params["blocks"] = []
+    for i in range(len(blocks)):
+        p = f"convs.{i + 1}"
+        params["blocks"].append({
+            "conv1": conv_layer(f"{p}.conv1"),
+            "conv2": conv_layer(f"{p}.conv2", downsample=True),
+            "skip": conv_layer(f"{p}.skip", downsample=True, activate=False),
+        })
+    params["final_conv"] = conv_layer("final_conv")
+    params["final_linear"] = [_linear(sd, f"final_linear.{i}")
+                              for i in range(2)]
+    if d.use_coord_ac and "coord_linear.0.weight" in sd:
+        params["coord_linear"] = [_linear(sd, f"coord_linear.{i}")
+                                  for i in range(2)]
+    import jax.numpy as jnp
+
+    return __import__("jax").tree_util.tree_map(
+        lambda x: jnp.asarray(x, jnp.float32), params)
+
+
 def export_torch_style_state_dict(params: dict, g) -> Dict[str, np.ndarray]:
     """Inverse mapping (for round-trip tests and torch interop)."""
     sd: Dict[str, np.ndarray] = {}

@@ -78,3 +78,26 @@ def test_forward_parity_with_reference(ref):
     err = np.abs(got - want).max()
     scale = np.abs(want).max()
     assert err / scale < 2e-3, (err, scale)
+
+
+def test_discriminator_parity_with_reference(ref):
+    if "d_in" not in ref.files:
+        pytest.skip("fixture predates the D parity payload")
+    from spgan_tpu.compat.torch_import import import_torch_discriminator
+    from spgan_tpu.models.discriminator import Discriminator
+
+    d = Discriminator(patch_size=101, channel_multiplier=2, batch_size=2,
+                      use_coord_ac=True, coord_num_dir=3)
+    sd = {k[len("dsd__"):]: ref[k] for k in ref.files
+          if k.startswith("dsd__")}
+    params = import_torch_discriminator(sd, d)
+
+    img = jnp.asarray(ref["d_in"].transpose(0, 2, 3, 1))
+    out = d.apply(params, img)
+    for mine, key in ((out["d_patch"], "d_patch"),
+                      (out["ac_coords_pred"], "d_ac_pred")):
+        got = np.asarray(mine)
+        want = ref[key]
+        err = np.abs(got - want).max()
+        scale = np.abs(want).max() + 1e-6
+        assert err / scale < 2e-3, (key, err, scale)

@@ -195,7 +195,20 @@ def main():
             disable_dual_latents=True,
         )
 
+    # ---- discriminator fixture ---------------------------------------
+    from models.stylegan2discriminator import StyleGan2Discriminator
+
+    dnet = StyleGan2Discriminator(config)
+    dnet.eval()
+    torch.manual_seed(2)
+    d_in = torch.randn(4, 3, 101, 101)
+    with torch.no_grad():
+        d_out = dnet(d_in)
+
     payload = {
+        "d_in": d_in.numpy(),
+        "d_patch": d_out["d_patch"].numpy(),
+        "d_ac_pred": d_out["ac_coords_pred"].numpy(),
         "gen": out["gen"].numpy(),
         "structure_latent": out["structure_latent"].numpy(),
         "global_latent": global_latent.numpy(),
@@ -211,6 +224,8 @@ def main():
     sd = {k: v.numpy() for k, v in g.state_dict().items()}
     for k, v in sd.items():
         payload["sd__" + k] = v
+    for k, v in dnet.state_dict().items():
+        payload["dsd__" + k] = v.numpy()
     out_path = (sys.argv[1] if len(sys.argv) > 1 else
                 "/tmp/spgan_reference_forward.npz")
     np.savez_compressed(out_path,
