@@ -172,6 +172,55 @@ def sphere_patch_grid_batch(cp, h: int, w: int, k: int = 3) -> jnp.ndarray:
                         cp.circular.astype(jnp.float32))
 
 
+def incre_interval_pattern(h: int, w: int, k: int, stride: int = 1,
+                           upsample: bool = False) -> np.ndarray:
+    """Border-shrinking global pattern for stride-2 / upsample sphere convs
+    (reference IncreIntervalGridGenerator, grid_generator.py:385-577): the
+    output lat/lon centers are re-spread over the full sphere with linspace
+    after dropping the border taps, so strided/upsampled convs keep full
+    coverage.  Returns (1, Ho*k, Wo*k, 2) in pixel units (lat, lon)."""
+    ker_x, ker_y, rho, nu = _kernel_offsets(k, h, w)
+    cos_nu, sin_nu = np.cos(nu), np.sin(nu)
+
+    def centers(n, delete, s):
+        if k == 1:
+            return np.arange(0, n, s).astype(np.float64)
+        if k % 2 == 0:
+            base = np.arange(0, n, s)[delete - 1: -delete]
+        elif s == 1:
+            base = np.arange(0, n, s)[delete: -delete]
+        elif s == 2 and delete == 1:
+            base = np.arange(0, n, s)
+        else:
+            base = np.arange(0, n, s)[delete - 1: -delete + 1]
+        return np.linspace(0, n, len(base))
+
+    if upsample:
+        out_h = stride * (h - k * stride * 2 - 1) + (1 + stride * 2) * k
+        out_w = stride * (w - k * stride * 2 - 1) + (1 + stride * 2) * k
+        h_range = np.linspace(0, h, out_h)
+        w_range = np.linspace(0, w, out_w)
+    else:
+        h_range = centers(h, k // 2, stride)
+        w_range = centers(w, k // 2, stride)
+
+    lat_range = ((h_range / h) - 0.5) * np.pi
+    lon_range = ((w_range / w) - 0.5) * TWO_PI
+
+    sin_lat = np.sin(lat_range)[:, None, None]
+    cos_lat = np.cos(lat_range)[:, None, None]
+    lat = np.arcsin(cos_nu * sin_lat + ker_y * sin_nu * cos_lat / rho)
+    lon = np.arctan(ker_x * sin_nu /
+                    (rho * cos_lat * cos_nu - ker_y * sin_lat * sin_nu))
+    lat = lat[:, None] + np.zeros((1, len(lon_range), 1, 1))
+    lon = lon[:, None] + lon_range[None, :, None, None]
+    lat = (lat / np.pi + 0.5) * h
+    lon = ((lon / TWO_PI + 0.5) * w) % w
+    latlon = np.stack([lat, lon], axis=-1).transpose(0, 2, 1, 3, 4)
+    oh, ow = latlon.shape[0] * k, latlon.shape[2] * k
+    return latlon.reshape(1, oh, ow, 2)
+
+
 def global_sphere_pattern(h: int, w: int, k: int, stride: int = 1) -> np.ndarray:
     """Global equirectangular gnomonic pattern in *pixel index* units,
     (1, H*Kh, W*Kw, 2) with channel order (lat, lon) — parity with the

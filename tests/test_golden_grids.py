@@ -65,3 +65,15 @@ def test_grid_with_init_parity(golden):
     want = golden["grid_init_35x35"]
     got = cg.base_grid(height=35, width=35, coord_init=(3, 17)).transpose(2, 0, 1)
     np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def test_incre_interval_pattern_parity(golden):
+    from spgan_tpu.geometry.sphere_grid import incre_interval_pattern
+
+    for name in ("incre_s1", "incre_s2", "incre_up"):
+        if name not in golden.files:
+            pytest.skip("older golden fixture without IncreInterval cases")
+        h, w, k, stride, ups = golden[f"{name}_meta"]
+        got = incre_interval_pattern(int(h), int(w), int(k), int(stride),
+                                     bool(ups))
+        np.testing.assert_allclose(got, golden[name], atol=1e-6, err_msg=name)

@@ -30,6 +30,7 @@ sys.modules.setdefault("pkg_resources", fake_pkg)
 from models.spherenet.grid_generator import (  # noqa: E402
     GridGenerator,
     GridGeneratorPatchCoordsFixBorder,
+    IncreIntervalGridGenerator,
 )
 
 
@@ -110,6 +111,17 @@ def main():
         gen = GridGenerator(h, w, k, stride=s)
         out[f"global_{name}"] = gen.createSamplingPattern().astype(np.float64)
         out[f"global_{name}_meta"] = np.array([h, w, k, s], dtype=np.float64)
+
+    # --- IncreInterval grid generator (stride/upsample variants) ---
+    for name, h, w, k, stride, ups in [
+        ("s1", 16, 32, 3, 1, False),
+        ("s2", 16, 32, 3, 2, False),
+        ("up", 16, 32, 3, 1, True),
+    ]:
+        gen = IncreIntervalGridGenerator(h, w, k, stride=stride, upsample=ups)
+        out[f"incre_{name}"] = gen.createSamplingPattern().astype(np.float64)
+        out[f"incre_{name}_meta"] = np.array(
+            [h, w, k, stride, float(ups)], dtype=np.float64)
 
     # --- coord handler const grid ---
     class EasyDict(dict):
