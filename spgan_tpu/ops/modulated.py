@@ -25,6 +25,7 @@ import math
 from dataclasses import dataclass, field
 from typing import Optional, Tuple
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 
@@ -103,6 +104,24 @@ class ModulatedConv2d:
             pad0 = (p + 1) // 2 + 1
             pad1 = p // 2 + 1
         return Blur(self.blur_kernel, pad=(pad0, pad1), upsample_factor=2)
+
+    def _fused_weight(self, w: jnp.ndarray) -> jnp.ndarray:
+        """(k,k,in,out) -> (k+2,k+2,in,out): full 2-D convolution of each
+        filter with the (blur_kernel x blur_kernel)/sum * 4 FIR stencil."""
+        from spgan_tpu.ops.upfirdn import make_kernel
+
+        b2 = jnp.asarray(make_kernel(np.asarray(self.blur_kernel,
+                                                np.float32)) * 4.0, w.dtype)
+        k = self.kernel_size
+        cin, cout = w.shape[2], w.shape[3]
+        # treat (in*out) as batch: full conv == pad k-1 and correlate with
+        # the flipped stencil; the stencil is symmetric so no flip needed
+        wb = w.transpose(2, 3, 0, 1).reshape(cin * cout, k, k, 1)
+        y = jax.lax.conv_general_dilated(
+            wb, b2[:, :, None, None], (1, 1),
+            [(2, 2), (2, 2)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        return y.reshape(cin, cout, k + 2, k + 2).transpose(2, 3, 0, 1)
 
     def init(self, key: jax.Array) -> dict:
         k = self.kernel_size
@@ -189,12 +208,23 @@ class ModulatedConv2d:
         if self.demodulate:
             demod = self.demod_factors(params, s).astype(x.dtype)
         if self.upsample:
-            y = _conv_transpose2(xs, w)
-            if self.no_zero_pad:
-                y = y[:, 1:-1, 1:-1, :]
-            if self.demodulate:
-                y = y * demod[:, None, None, :]
-            y = self._blur()(y)
+            if self.no_zero_pad and len(self.blur_kernel) % 2 == 1:
+                # fuse the depthwise blur into the transposed-conv weights:
+                # convT(k3,s2) -> crop1 -> blur(k3, valid)  ==
+                # convT(k5=W (x) B, s2) -> crop3   (exact; saves one pass over
+                # the largest feature maps). demod is a per-(b,out) scalar and
+                # commutes with the linear blur.
+                y = _conv_transpose2(xs, self._fused_weight(w))
+                y = y[:, 3:-3, 3:-3, :]
+                if self.demodulate:
+                    y = y * demod[:, None, None, :]
+            else:
+                y = _conv_transpose2(xs, w)
+                if self.no_zero_pad:
+                    y = y[:, 1:-1, 1:-1, :]
+                if self.demodulate:
+                    y = y * demod[:, None, None, :]
+                y = self._blur()(y)
         else:
             y = _conv(xs, w, padding=self.padding)
             if self.demodulate:
