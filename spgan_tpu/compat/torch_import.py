@@ -26,7 +26,7 @@ blocks were interleaved) is available via remap_ss_indices=True.
 """
 from __future__ import annotations
 
-from typing import Dict, Optional
+from typing import Dict
 
 import numpy as np
 

@@ -22,7 +22,7 @@ import queue
 import threading
 from dataclasses import dataclass
 from glob import glob
-from typing import Dict, Iterator, Optional
+from typing import Dict, Iterator
 
 import numpy as np
 

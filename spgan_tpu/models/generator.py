@@ -32,7 +32,6 @@ import jax.numpy as jnp
 from spgan_tpu.config import Config
 from spgan_tpu.geometry.coords import CoordGrid, CoordsPartial, encode_coords
 from spgan_tpu.geometry.sphere_conv import SphereSkipConv, SphereStyledConv
-from spgan_tpu.geometry.sphere_grid import sphere_patch_grid_batch
 from spgan_tpu.ops.linear import EqualLinear, pixel_norm
 from spgan_tpu.ops.modulated import ModulatedConv2d, StyledConv, ToRGB
 from spgan_tpu.ops.spatial import ConvSpec, derive_stitch_geometry

@@ -14,7 +14,7 @@ twice-differentiable — see ops/grid_sample.py for why no custom_vjp is used).
 from __future__ import annotations
 
 import math
-from typing import List, Sequence, Tuple
+from typing import Sequence
 
 import jax
 import jax.numpy as jnp
@@ -53,13 +53,6 @@ def d_r1_penalty(d_fn, params, real_img):
 
     grad = jax.grad(scalar_out)(real_img)
     return jnp.square(grad).reshape(grad.shape[0], -1).sum(1).mean()
-
-
-def path_lengths(fake_img: jnp.ndarray, pullback) -> jnp.ndarray:
-    """PPL lengths: ||d(img . noise)/d(styles)|| with noise ~ N(0, 1/HW)
-    (reference losses.py:60-68). `pullback` is the VJP function w.r.t. styles
-    returned by jax.vjp over the synthesis pass."""
-    raise NotImplementedError("use ppl_lengths")
 
 
 def grad_reduce(grad: jnp.ndarray) -> jnp.ndarray:

@@ -8,10 +8,8 @@ Reference parity (train.py:627-639, 884-957; utils.py:129-134):
 from __future__ import annotations
 
 import os
-from typing import Any, Optional, Tuple
+from typing import Optional, Tuple
 
-import jax
-import numpy as np
 import orbax.checkpoint as ocp
 
 from spgan_tpu.train.state import TrainState

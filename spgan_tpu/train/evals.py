@@ -6,9 +6,7 @@ from __future__ import annotations
 import os
 from typing import Optional
 
-import numpy as np
 import jax
-import jax.numpy as jnp
 
 from spgan_tpu.config import Config
 from spgan_tpu.models.generator import Generator

@@ -7,8 +7,8 @@ betas = (0, 0.99 ** (N/(N+1)))... precisely beta1^ratio, beta2^ratio with
 """
 from __future__ import annotations
 
-from dataclasses import dataclass, field
-from typing import Any, Dict
+from dataclasses import dataclass
+from typing import Any
 
 import jax
 import jax.numpy as jnp
