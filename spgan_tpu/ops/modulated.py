@@ -68,6 +68,7 @@ class ModulatedConv2d:
     blur_kernel: Tuple[float, ...] = (1.0, 2.0, 1.0)
     no_zero_pad: bool = False
     identity_init: bool = False  # gs-variant: center-tap-1 init
+    fuse_blur: bool = False      # see apply(): measured slower on v5e
     eps: float = 1e-8
 
     @property
@@ -208,12 +209,12 @@ class ModulatedConv2d:
         if self.demodulate:
             demod = self.demod_factors(params, s).astype(x.dtype)
         if self.upsample:
-            if self.no_zero_pad and len(self.blur_kernel) % 2 == 1:
-                # fuse the depthwise blur into the transposed-conv weights:
-                # convT(k3,s2) -> crop1 -> blur(k3, valid)  ==
-                # convT(k5=W (x) B, s2) -> crop3   (exact; saves one pass over
-                # the largest feature maps). demod is a per-(b,out) scalar and
-                # commutes with the linear blur.
+            if self.fuse_blur and self.no_zero_pad and \
+                    len(self.blur_kernel) % 2 == 1:
+                # Exact composition: convT(k3,s2) -> crop1 -> blur(k3, valid)
+                # == convT(k5 = W (*) B, s2) -> crop3. Measured SLOWER on v5e
+                # (dense 25/9x matmul cost outweighs the saved depthwise
+                # pass) — kept as an option, off by default.
                 y = _conv_transpose2(xs, self._fused_weight(w))
                 y = y[:, 3:-3, 3:-3, :]
                 if self.demodulate:
