@@ -15,6 +15,10 @@ def main():
     ap.add_argument("--debug", action="store_true")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--max-iters", type=int, default=None)
+    ap.add_argument("--coordinator", default=None,
+                    help="multi-host: coordinator address host:port")
+    ap.add_argument("--num-processes", type=int, default=None)
+    ap.add_argument("--process-id", type=int, default=None)
     args = ap.parse_args()
 
     from spgan_tpu.utils.cache import enable_compilation_cache
@@ -22,6 +26,12 @@ def main():
     enable_compilation_cache()
     from spgan_tpu.config import load_config
     from spgan_tpu.train.loop import train
+
+    if args.num_processes:
+        from spgan_tpu.parallel.mesh import init_distributed
+
+        init_distributed(args.coordinator, args.num_processes,
+                         args.process_id)
 
     cfg = load_config(args.config)
     if args.debug:
