@@ -109,6 +109,22 @@ def train(cfg: Config, debug: bool = False, seed: int = 0,
                       noise_rng=jax.random.fold_in(kvis, 2))
         return out["gen"]
 
+    # 2x-extended visualization (reference train.py:133-147,463-622) —
+    # enabled when the config doesn't set no_ext
+    vis_ext_forward = None
+    if not tp.no_ext and g.ss is not None:
+        vis_ll_ext = sampler.sample_local(jax.random.fold_in(kvis, 3), n_vis,
+                                          spatial_size_enlarge=2)
+
+        @jax.jit
+        def vis_ext_forward(params_ema, kc):
+            coords, _, cp = g.ss.coord_grid.sample_training_extrap(
+                kc, n_vis, vis_ll_ext.shape[1])
+            out = g.apply(params_ema, global_latent=vis_gl,
+                          local_latent=vis_ll_ext, coords=coords, cp=cp,
+                          noise_rng=jax.random.fold_in(kvis, 4))
+            return out["gen"]
+
     fid_eval = None
     fid_ext2_eval = None
     if not debug and cfg.test_params.calc_fid:
@@ -161,6 +177,11 @@ def train(cfg: Config, debug: bool = False, seed: int = 0,
                                               jax.random.fold_in(kvis, it)))
                 writer.add_image("samples/ema", _to_grid(imgs), it,
                                  dataformats="HWC")
+                if vis_ext_forward is not None:
+                    ext = np.asarray(vis_ext_forward(
+                        state.params_g_ema, jax.random.fold_in(kvis, it + 1)))
+                    writer.add_image("samples/ema_ext2", _to_grid(ext, 4), it,
+                                     dataformats="HWC")
 
             if it % lp.save_tick == 0 and it > 0 and ckpt_mgr is not None:
                 ckpt_mgr.save(it, jax.device_get(state))
