@@ -77,3 +77,28 @@ def test_incre_interval_pattern_parity(golden):
         got = incre_interval_pattern(int(h), int(w), int(k), int(stride),
                                      bool(ups))
         np.testing.assert_allclose(got, golden[name], atol=1e-6, err_msg=name)
+
+
+def test_presampled_modes_parity(golden):
+    from spgan_tpu.geometry.sphere_grid import sphere_patch_grid_presampled
+
+    n = 0
+    for key in golden.files:
+        if not key.startswith("pre_") or key.endswith("_meta"):
+            continue
+        (pxs, pxe, pys, pye, circ, xt, yt, tflag, pmode,
+         partial) = golden[key + "_meta"]
+        # the reference honors cp.partial only under test_flag
+        # (grid_generator.py:164-167); otherwise 0.8
+        eff_partial = float(partial) if tflag else 0.8
+        got = sphere_patch_grid_presampled(
+            pxs, pxe, pys, pye, bool(circ), eff_partial,
+            full_shape=(59, 48), k=3, x_total=int(xt), y_total=int(yt),
+            pre_sample_mode=bool(pmode))
+        pat = golden[key]
+        lat_norm = pat[0, :, :, 0] / xt * 2 - 1
+        lon_norm = pat[0, :, :, 1] / yt * 2 - 1
+        want = np.stack([lon_norm, lat_norm], axis=-1)
+        np.testing.assert_allclose(got, want, atol=2e-5, err_msg=key)
+        n += 1
+    assert n == 6

@@ -106,6 +106,40 @@ def main():
             dtype=np.float64,
         )
 
+    # --- presampled test modes (full_shape / pre_sample_mode branches) ---
+    # close-loop-style windows over a 59x48 field, full_shape=(59,48)
+    pre_cases = []
+    for i, (zx, zy, circ) in enumerate(
+        [(0, 0, False), (6, 12, False), (12, 42, True)]
+    ):
+        base = dict(
+            p_x_st=zx / 59, p_x_ed=(zx + 36) / 59,
+            p_y_st=zy / 48, p_y_ed=(zy + 36) / 48,
+            circular_flag=circ, x_total=59, y_total=48,
+            partial=0.6667, y_st=zy, y_ed=zy + 35,
+        )
+        c1 = dict(base, test_flag=True, full_shape=(59, 48))
+        pre_cases.append((f"fullshape_{i}", c1))
+        # pre_sample_mode needs len(lon_range)==35: ed=+1 ends
+        c2 = dict(
+            base, pre_sample_mode=True, full_shape=(59, 48),
+            p_x_ed=(zx + 34) / 59, p_y_ed=(zy + 34) / 48,
+        )
+        pre_cases.append((f"presample_{i}", c2))
+    for name, c in pre_cases:
+        try:
+            gen = GridGeneratorPatchCoordsFixBorder(35, 35, 3, stride=1,
+                                                    coords_partial=c)
+            pat = gen.createSamplingPattern()
+            out[f"pre_{name}"] = pat.astype(np.float64)
+            out[f"pre_{name}_meta"] = np.array(
+                [c["p_x_st"], c["p_x_ed"], c["p_y_st"], c["p_y_ed"],
+                 float(c["circular_flag"]), c["x_total"], c["y_total"],
+                 float("test_flag" in c), float("pre_sample_mode" in c),
+                 c["partial"]], dtype=np.float64)
+        except AssertionError as e:
+            print("skip", name, e)
+
     # --- global grid generator ---
     for name, h, w, k, s in [("g64", 16, 32, 3, 1), ("g_asym", 24, 48, 3, 1)]:
         gen = GridGenerator(h, w, k, stride=s)
