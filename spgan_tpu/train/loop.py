@@ -171,6 +171,15 @@ def train(cfg: Config, debug: bool = False, seed: int = 0,
                 writer.add_scalar("utils/iters_per_sec",
                                   lp.log_tick / max(now - t_last, 1e-9), it)
                 t_last = now
+                # device memory observability (reference utils.py:563-579)
+                try:
+                    ms = jax.local_devices()[0].memory_stats() or {}
+                    for mk in ("bytes_in_use", "peak_bytes_in_use"):
+                        if mk in ms:
+                            writer.add_scalar(f"memory/{mk}",
+                                              ms[mk] / 2 ** 20, it)
+                except Exception:
+                    pass
 
             if it % lp.img_tick == 0 and writer is not None:
                 imgs = np.asarray(vis_forward(state.params_g_ema,
