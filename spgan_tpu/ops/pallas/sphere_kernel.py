@@ -113,6 +113,8 @@ def fused_sphere_conv(x: jnp.ndarray, tables: dict, w9: jnp.ndarray,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, H, W, Cout), x.dtype),
         scratch_shapes=[
+            # f32 staging: mixed bf16*f32 row math promotes to f32, and
+            # Mosaic cannot shape-cast (H,W,C)->(H*W,C) on bf16 tiles
             pltpu.VMEM((Wp, 1, C), jnp.float32),
             pltpu.VMEM((H, W, C), jnp.float32),
             pltpu.VMEM((H * W, Cout), jnp.float32),
