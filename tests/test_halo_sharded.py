@@ -1,0 +1,40 @@
+"""Width-sharded inference with ppermute halo exchange: the 8-device result
+must equal the 1-device result bit-for-bit (same fields, same math — only the
+field placement and the ring communication differ)."""
+import numpy as np
+import jax
+
+from spgan_tpu.config import Config
+from spgan_tpu.infer.halo import generate_width_sharded
+from spgan_tpu.infer.stitcher import build_close_loop_plan
+from spgan_tpu.models.generator import Generator
+from spgan_tpu.parallel.mesh import make_mesh
+
+
+def test_width_sharded_halo_exchange():
+    cfg = Config()
+    tp = cfg.train_params
+    tp.global_latent_dim = 16
+    tp.local_latent_dim = 8
+    tp.channel_multiplier = 1
+    tp.n_mlp = 1
+    tp.ss_n_layers = 2
+    g = Generator.from_config(cfg)
+    object.__setattr__(g.ts, "channel_base", 16)
+    params = g.init(jax.random.PRNGKey(0))
+
+    # wide pano: 40 lattice columns -> 5 columns (30 latent cols) per device,
+    # which fits the 23-col halo (window 23 for ss_n_layers=2)
+    plan = build_close_loop_plan(g, 128, 3840)
+    assert plan.num_steps_w_min == 40
+
+    key = jax.random.PRNGKey(3)
+    mesh8 = make_mesh()
+    out8 = generate_width_sharded(g, params, plan, mesh8, key, batch=1,
+                                  grid_partial=tp.partial)
+    mesh1 = make_mesh(jax.devices()[:1])
+    out1 = generate_width_sharded(g, params, plan, mesh1, key, batch=1,
+                                  grid_partial=tp.partial)
+    assert out8.shape == (1, plan.meta_h, 3840, 3)
+    assert np.isfinite(out8).all()
+    np.testing.assert_array_equal(out8, out1)
