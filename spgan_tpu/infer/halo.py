@@ -161,8 +161,7 @@ def generate_width_sharded(g: Generator, params, plan: LatticePlan,
         body, mesh=mesh,
         in_specs=(P(), P(), P(None, None, axis), P(None, axis))
         + tuple(P(None, None, axis) for _ in noises),
-        out_specs=P(axis),
-        check_rep=False)
+        out_specs=P(axis))
     patches = jax.jit(fn)(params, gl, z_field, coords_field, *noises)
     patches = jax.device_get(patches)  # (nh*nw ordered dev-major)
 
