@@ -109,6 +109,28 @@ def train(cfg: Config, debug: bool = False, seed: int = 0,
                       noise_rng=jax.random.fold_in(kvis, 2))
         return out["gen"]
 
+    # diversity grids (reference train.py:468-622): style diversity = one
+    # local latent under several globals; structure diversity = one global
+    # under several locals
+    @jax.jit
+    def vis_diversity(params_ema, kc):
+        n = min(n_vis, 8)
+        coords, _, cp = g.ss.coord_grid.sample_training(kc, n)
+        style_div = g.apply(
+            params_ema,
+            global_latent=sampler.sample_global(jax.random.fold_in(kc, 1), n,
+                                                mixing=False),
+            local_latent=jnp.tile(vis_ll[:1], (n, 1, 1, 1)),
+            coords=coords, cp=cp,
+            noise_rng=jax.random.fold_in(kvis, 5))["gen"]
+        struct_div = g.apply(
+            params_ema,
+            global_latent=jnp.tile(vis_gl[:1], (n, 1, 1)),
+            local_latent=sampler.sample_local(jax.random.fold_in(kc, 2), n),
+            coords=coords, cp=cp,
+            noise_rng=jax.random.fold_in(kvis, 6))["gen"]
+        return style_div, struct_div
+
     # 2x-extended visualization (reference train.py:133-147,463-622) —
     # enabled when the config doesn't set no_ext
     vis_ext_forward = None
@@ -191,6 +213,14 @@ def train(cfg: Config, debug: bool = False, seed: int = 0,
                         state.params_g_ema, jax.random.fold_in(kvis, it + 1)))
                     writer.add_image("samples/ema_ext2", _to_grid(ext, 4), it,
                                      dataformats="HWC")
+                sd, td = vis_diversity(state.params_g_ema,
+                                       jax.random.fold_in(kvis, it + 2))
+                writer.add_image("samples/style_diversity",
+                                 _to_grid(np.asarray(sd)), it,
+                                 dataformats="HWC")
+                writer.add_image("samples/structure_diversity",
+                                 _to_grid(np.asarray(td)), it,
+                                 dataformats="HWC")
 
             if it % lp.save_tick == 0 and it > 0 and ckpt_mgr is not None:
                 ckpt_mgr.save(it, jax.device_get(state))
