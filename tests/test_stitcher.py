@@ -115,3 +115,27 @@ def test_meta_wrap_region_matches_base_columns(tiny_engine):
     r = i * plan.geom.pixelspace_step
     p = patches[i, 8]  # j=8 -> cols 768..869 -> 96..197 (no split)
     np.testing.assert_array_equal(meta[:, r:r + 101, 96:197], p)
+
+
+def test_infinite_engine_generation():
+    """Planar (non-wrapping) engine path end-to-end."""
+    cfg = Config()
+    tp = cfg.train_params
+    tp.global_latent_dim = 32
+    tp.local_latent_dim = 16
+    tp.channel_multiplier = 1
+    tp.n_mlp = 2
+    tp.ss_n_layers = 2
+    g = Generator.from_config(cfg)
+    object.__setattr__(g.ts, "channel_base", 48)
+    params = g.init(jax.random.PRNGKey(0))
+    plan = build_infinite_plan(g, 128, 128)
+    eng = PanoramaEngine(g=g, plan=plan, batch=1, patch_chunk=4,
+                         grid_partial=tp.partial)
+    meta = np.asarray(eng.generate(params, jax.random.PRNGKey(9)))
+    assert meta.shape == (1, plan.meta_h, plan.meta_w, 3)
+    assert np.isfinite(meta).all()
+    out = np.asarray(eng.crop_to_target(meta))
+    assert out.shape == (1, 128, 128, 3)
+    # every pixel written (no zeros-left-behind from the scatter)
+    assert (np.abs(meta) > 0).mean() > 0.999
