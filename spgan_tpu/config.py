@@ -80,6 +80,9 @@ class TrainParams:
 
     # numerics (TPU-native knobs; not in the reference)
     compute_dtype: str = "float32"  # "float32" | "bfloat16"
+    # inner training steps per device call (amortizes dispatch/transfer
+    # latency; 1 == reference-style one-step loop)
+    steps_per_call: int = 1
 
     @property
     def ss_unfold_size(self) -> int:

@@ -30,11 +30,13 @@ def make_mesh(devices: Optional[Sequence[Any]] = None,
     return Mesh(np.array(devices), (axis,))
 
 
-def shard_batch(tree: Any, mesh: Mesh, axis: str = "data") -> Any:
-    """Shard leading (batch) dim of every array leaf across the mesh."""
+def shard_batch(tree: Any, mesh: Mesh, axis: str = "data",
+                dim: int = 0) -> Any:
+    """Shard the batch dim (index `dim`) of every array leaf across the mesh.
+    axis=None replicates."""
     def put(x):
-        if hasattr(x, "ndim") and x.ndim >= 1:
-            spec = P(axis)
+        if axis is not None and hasattr(x, "ndim") and x.ndim > dim:
+            spec = P(*([None] * dim), axis)
         else:
             spec = P()
         return jax.device_put(x, NamedSharding(mesh, spec))

@@ -72,9 +72,9 @@ def train(cfg: Config, debug: bool = False, seed: int = 0,
     d = Discriminator.from_config(cfg)
 
     mesh = make_mesh()
-    key = jax.random.PRNGKey(seed)
-    key, k_init = jax.random.split(key)
-    state = create_train_state(cfg, g, d, k_init)
+    base_key = jax.random.PRNGKey(seed)
+    state = create_train_state(cfg, g, d,
+                               jax.random.fold_in(base_key, 2 ** 31))
 
     start_iter = 0
     if ckpt_mgr is not None and ckpt_mgr.latest_step() is not None:
@@ -83,6 +83,11 @@ def train(cfg: Config, debug: bool = False, seed: int = 0,
         print(f" [*] Resumed from iter {start_iter}")
     state = replicate(state, mesh)
 
+    k_steps = max(1, tp.steps_per_call)
+    if k_steps > 1:
+        from spgan_tpu.train.step import make_train_step_many
+
+        step_fn_many = make_train_step_many(cfg, g, d)
     step_fn = make_train_step(cfg, g, d)
 
     from spgan_tpu.data.pipeline import make_train_pipeline
@@ -170,15 +175,34 @@ def train(cfg: Config, debug: bool = False, seed: int = 0,
     lp = cfg.log_params
     t_last = time.time()
     try:
-        for it in range(start_iter, total):
-            batch = next(pipeline)
-            real_patch = shard_batch(jnp.asarray(batch["patch"]), mesh)
-            real_ac = shard_batch(jnp.asarray(batch["ac_coords"]), mesh)
-            key, k_it = jax.random.split(key)
-            do_r1 = (it % tp.d_reg_every == 0)
-            do_ppl = (it % tp.g_reg_every == 0) and (it >= tp.g_path_start)
-            state, metrics = step_fn(state, real_patch, real_ac, k_it,
-                                     do_r1=do_r1, do_ppl=do_ppl)
+        it = start_iter
+        while it < total:
+            k = min(k_steps, total - it)
+            if k > 1:
+                batches = [next(pipeline) for _ in range(k)]
+                real_patch = shard_batch(jnp.asarray(np.stack(
+                    [b["patch"] for b in batches], 0)), mesh, dim=1)
+                real_ac = shard_batch(jnp.asarray(np.stack(
+                    [b["ac_coords"] for b in batches], 0)), mesh, dim=1)
+                r1s = tuple(((it + j) % tp.d_reg_every == 0)
+                            for j in range(k))
+                ppls = tuple((it + j) % tp.g_reg_every == 0
+                             and (it + j) >= tp.g_path_start
+                             for j in range(k))
+                state, metrics = step_fn_many(state, real_patch, real_ac,
+                                              base_key, do_r1=r1s,
+                                              do_ppl=ppls)
+                it += k
+            else:
+                batch = next(pipeline)
+                real_patch = shard_batch(jnp.asarray(batch["patch"]), mesh)
+                real_ac = shard_batch(jnp.asarray(batch["ac_coords"]), mesh)
+                do_r1 = (it % tp.d_reg_every == 0)
+                do_ppl = ((it % tp.g_reg_every == 0)
+                          and (it >= tp.g_path_start))
+                state, metrics = step_fn(state, real_patch, real_ac, base_key,
+                                         do_r1=do_r1, do_ppl=do_ppl)
+                it += 1
 
             if debug:
                 jax.block_until_ready(state)
@@ -226,7 +250,8 @@ def train(cfg: Config, debug: bool = False, seed: int = 0,
                 ckpt_mgr.save(it, jax.device_get(state))
 
             if (fid_eval is not None and it % lp.eval_tick == 0 and it > 0):
-                fid = fid_eval(state.params_g_ema, jax.random.fold_in(key, it))
+                fid = fid_eval(state.params_g_ema,
+                               jax.random.fold_in(base_key, it))
                 if writer is not None:
                     writer.add_scalar("metric/fid", fid, it)
                 if fid < best_fid and ckpt_mgr is not None:
@@ -239,7 +264,7 @@ def train(cfg: Config, debug: bool = False, seed: int = 0,
             if (fid_ext2_eval is not None and it % lp.fid_ext2_tick == 0
                     and it > 0):
                 fid2 = fid_ext2_eval(state.params_g_ema,
-                                     jax.random.fold_in(key, it + 1))
+                                     jax.random.fold_in(base_key, it + 1))
                 if writer is not None:
                     writer.add_scalar("metric/fid_ext2", fid2, it)
     except Exception:

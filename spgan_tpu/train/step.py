@@ -29,7 +29,7 @@ from spgan_tpu.models.latents import LatentSampler
 from spgan_tpu.train.state import TrainState, make_optimizers
 
 
-def make_train_step(cfg: Config, g: Generator, d: Discriminator):
+def _build_step(cfg: Config, g: Generator, d: Discriminator):
     tp = cfg.train_params
     sampler = LatentSampler(
         global_dim=tp.global_latent_dim, local_dim=tp.local_latent_dim,
@@ -69,6 +69,10 @@ def make_train_step(cfg: Config, g: Generator, d: Discriminator):
              real_ac: jnp.ndarray, key: jax.Array,
              do_r1: bool, do_ppl: bool
              ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
+        # derive the per-iteration key IN-GRAPH from (base key, step counter):
+        # host-side key splitting would cost one device round trip per op,
+        # which dominates the loop on remote-attached accelerators
+        key = jax.random.fold_in(key, state.step)
         metrics: Dict[str, jnp.ndarray] = {}
         k_dfake, k_gfake, k_ppl = jax.random.split(key, 3)
 
@@ -189,4 +193,31 @@ def make_train_step(cfg: Config, g: Generator, d: Discriminator):
         )
         return new_state, metrics
 
-    return functools.partial(jax.jit, static_argnames=("do_r1", "do_ppl"))(step)
+    return step
+
+
+def make_train_step(cfg: Config, g: Generator, d: Discriminator):
+    return functools.partial(jax.jit, static_argnames=("do_r1", "do_ppl"))(
+        _build_step(cfg, g, d))
+
+
+def make_train_step_many(cfg: Config, g: Generator, d: Discriminator):
+    """K training steps per device call (one staged host->device transfer,
+    one executable launch).  This amortizes per-dispatch latency — essential
+    on remote-attached accelerators and a standard input-pipeline pattern on
+    TPU pods.  Flags are static tuples (one bool per inner step), so only a
+    handful of variants compile across the d_reg/g_reg cycle.
+    """
+    base = _build_step(cfg, g, d)
+
+    def step_many(state: TrainState, real_patches: jnp.ndarray,
+                  real_acs: jnp.ndarray, key: jax.Array,
+                  do_r1: Tuple[bool, ...], do_ppl: Tuple[bool, ...]):
+        metrics = None
+        for i, (r1, ppl) in enumerate(zip(do_r1, do_ppl)):
+            state, metrics = base(state, real_patches[i], real_acs[i], key,
+                                  do_r1=r1, do_ppl=ppl)
+        return state, metrics
+
+    return functools.partial(jax.jit,
+                             static_argnames=("do_r1", "do_ppl"))(step_many)

@@ -86,3 +86,50 @@ def test_full_train_step_on_mesh():
                           jax.random.PRNGKey(2), do_r1=False, do_ppl=False)
     assert float(m2["r1"]) == 0.0
     assert int(new_state2.step) == 2
+
+
+def test_step_many_equals_sequential_steps():
+    """K steps per call must reproduce K sequential single-step calls exactly
+    (the per-iteration key derives from state.step in-graph)."""
+    from spgan_tpu.train.step import make_train_step_many
+
+    cfg = tiny_config()
+    tp = cfg.train_params
+    tp.batch_size = 8
+    tp.n_mlp = 1
+    tp.ss_n_layers = 1
+    g = Generator.from_config(cfg)
+    object.__setattr__(g.ts, "channel_base", 16)
+    d = Discriminator(patch_size=101, channel_multiplier=1,
+                      batch_size=tp.batch_size,
+                      use_coord_ac=True, coord_num_dir=3, linear_ch=16)
+    small = {k: 16 for k in (4, 8, 16, 32, 64, 128, 256, 512, 1024, 2048)}
+    object.__setattr__(d, "channels", lambda: small)
+
+    mesh = make_mesh()
+    state0 = replicate(create_train_state(cfg, g, d, jax.random.PRNGKey(0)),
+                       mesh)
+    rng = np.random.RandomState(1)
+    patches = rng.randn(2, 8, 101, 101, 3).astype(np.float32)
+    acs = rng.uniform(-1, 1, (2, 8, 3)).astype(np.float32)
+    key = jax.random.PRNGKey(5)
+
+    step = make_train_step(cfg, g, d)
+    s = state0
+    for i in range(2):
+        s, m_seq = step(s, shard_batch(jnp.asarray(patches[i]), mesh),
+                        shard_batch(jnp.asarray(acs[i]), mesh), key,
+                        do_r1=(i == 0), do_ppl=False)
+
+    step_many = make_train_step_many(cfg, g, d)
+    s2, m_many = step_many(
+        state0, shard_batch(jnp.asarray(patches), mesh, dim=1),
+        shard_batch(jnp.asarray(acs), mesh, dim=1), key,
+        do_r1=(True, False), do_ppl=(False, False))
+
+    for a, b in zip(jax.tree_util.tree_leaves(s.params_g),
+                    jax.tree_util.tree_leaves(s2.params_g)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+    assert int(s2.step) == 2
+    np.testing.assert_allclose(float(m_seq["g_total_loss"]),
+                               float(m_many["g_total_loss"]), rtol=1e-5)

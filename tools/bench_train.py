@@ -27,9 +27,11 @@ for name, r1, ppl in (("plain", False, False), ("r1", True, False), ("r1+ppl", T
     s2, m = step(state, real, ac, jax.random.PRNGKey(1), do_r1=r1, do_ppl=ppl)
     jax.block_until_ready(s2)
     print(f"{name}: compile+1st {time.perf_counter()-t0:.1f}s")
+    # block every iteration: async-chain timing under-reports through the
+    # remote runtime (measured 5ms/iter "async" vs 240ms/iter real)
     t0 = time.perf_counter()
-    for i in range(5):
+    for i in range(10):
         s2, m = step(s2, real, ac, jax.random.PRNGKey(2+i), do_r1=r1, do_ppl=ppl)
-    jax.block_until_ready(s2)
-    dt = (time.perf_counter()-t0)/5
+        jax.block_until_ready(s2)
+    dt = (time.perf_counter()-t0)/10
     print(f"{name}: {dt*1000:.1f} ms/iter ({1/dt:.2f} it/s, batch {tp.batch_size})")
