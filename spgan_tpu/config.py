@@ -83,6 +83,10 @@ class TrainParams:
     # inner training steps per device call (amortizes dispatch/transfer
     # latency; 1 == reference-style one-step loop)
     steps_per_call: int = 1
+    # Pallas tap-sampler for the SS sphere convs during training:
+    # "auto" (on when running on TPU), "on", "off".  Gradient-exact vs the
+    # XLA gather path (tests/test_pallas_sample.py).
+    pallas_train_sampler: str = "auto"
 
     @property
     def ss_unfold_size(self) -> int:

@@ -80,24 +80,42 @@ class SphereStyledConv:
               coords: jnp.ndarray, cp: CoordsPartial,
               grid: Optional[jnp.ndarray] = None,
               grid_groups: int = 0,
-              tables: Optional[dict] = None) -> jnp.ndarray:
+              tables: Optional[dict] = None,
+              tables_mode: str = "fused") -> jnp.ndarray:
         """x: (B,H,W,local_dim); coords: (B,H,W,coord_dim) RAW indices;
         style: (B,style_dim). Output: (B,H,W,out_ch) — size preserving
         (stride == kernel over the k-times-resampled map).
 
         grid_groups>0: `grid` is (G, 3H, 3W, 2), shared by B//G samples each
         (fast batch-shared gather — see ops/grid_sample.py).
-        tables: per-sample row-offset tables -> use the fused Pallas kernel
-        for the latent channels (forward-only; inference path)."""
+        tables: per-sample row-offset tables. tables_mode="fused" uses the
+        fused Pallas conv kernel (forward-only; inference); "sample" uses the
+        tap sampler kernel + an einsum contraction, through which weight and
+        style gradients flow exactly (training path)."""
         b, h, w, _ = x.shape
         k = self.kernel_size
-        if grid is None:
+        need_grid = tables is None or tables_mode != "sample"
+        if grid is None and need_grid:
             grid = sphere_patch_grid_batch(cp, h, w, k)
         spec = self.conv_spec()
         s = spec.style_scale(params["conv"], style)  # (B,in_ch)
         wt = params["conv"]["weight"].astype(x.dtype) * spec.scale
         demod = spec.demod_factors(params["conv"], s).astype(x.dtype)
         s = s.astype(x.dtype)
+
+        if tables is not None and tables_mode == "sample":
+            from spgan_tpu.ops.pallas.sphere_sample import st_sample_taps
+
+            ld = self.local_dim
+            both = jnp.concatenate([x, coords.astype(x.dtype)], axis=-1)
+            taps = st_sample_taps(both, tables)          # (B,K2,H,W,in)
+            t_x = taps[..., :ld]
+            t_c = encode_coords(taps[..., ld:], self.coord_dim)
+            taps = jnp.concatenate([t_x, t_c.astype(x.dtype)], axis=-1)
+            taps = taps * s[:, None, None, None, :]
+            w9 = wt.reshape(k * k, spec.in_ch, self.out_ch)
+            y = jnp.einsum("bthwc,tco->bhwo", taps, w9)
+            return y * demod[:, None, None, :]
 
         if tables is not None:
             from spgan_tpu.ops.pallas.sphere_kernel import fused_sphere_conv

@@ -163,6 +163,15 @@ def sphere_offset_tables(p_x_st, p_x_ed, p_y_st, p_y_ed, circular,
     return {"y0": y0, "y1": y1, "wy": wy, "sx": sx, "fx": fx}
 
 
+def sphere_offset_tables_batch(cp, h: int, w: int, k: int = 3) -> dict:
+    """Batched offset tables from a CoordsPartial: dict of (B, h, k*k)."""
+    fn = lambda a, b, c, d, e: sphere_offset_tables(
+        a, b, c, d, e, cp.grid_partial,
+        h=h, w=w, k=k, x_total=cp.x_total, y_total=cp.y_total)
+    return jax.vmap(fn)(cp.p_x_st, cp.p_x_ed, cp.p_y_st, cp.p_y_ed,
+                        cp.circular.astype(jnp.float32))
+
+
 def sphere_patch_grid_batch(cp, h: int, w: int, k: int = 3) -> jnp.ndarray:
     """Batched grids from a CoordsPartial struct-of-arrays: (B, h*k, w*k, 2)."""
     fn = lambda a, b, c, d, e: sphere_patch_grid(

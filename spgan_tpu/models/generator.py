@@ -146,12 +146,21 @@ class StructureSynthesizer:
             h -= 2 * self.unfold_radius
         return sizes
 
+    def train_tables(self, cp: CoordsPartial, in_size: int) -> List[dict]:
+        """Per-sample offset tables for every sphere layer — feed as
+        tables_list with tables_mode="sample" (Pallas training sampler)."""
+        from spgan_tpu.geometry.sphere_grid import sphere_offset_tables_batch
+
+        return [sphere_offset_tables_batch(cp, s, s)
+                for s in self.layer_sizes(in_size)]
+
     def apply(self, params: dict, global_z: jnp.ndarray,
               local_latent: jnp.ndarray, coords: jnp.ndarray,
               cp: CoordsPartial,
               grids: Optional[Sequence[jnp.ndarray]] = None,
               grid_groups: int = 0,
-              tables_list: Optional[Sequence[dict]] = None) -> jnp.ndarray:
+              tables_list: Optional[Sequence[dict]] = None,
+              tables_mode: str = "fused") -> jnp.ndarray:
         """global_z: (B, global_dim) RAW z (ss_mapping is off in the shipped
         config — the SS styled convs are modulated by unmapped z,
         spgan.py:1342-1343); local_latent: (B,S,S,local_dim);
@@ -165,7 +174,8 @@ class StructureSynthesizer:
             grid = None if grids is None else grids[i]
             tbl = None if tables_list is None else tables_list[i]
             y = sphere.apply(blk["sphere"], h, global_z, c, cp, grid=grid,
-                             grid_groups=grid_groups, tables=tbl)
+                             grid_groups=grid_groups, tables=tbl,
+                             tables_mode=tables_mode)
             y = jax.nn.leaky_relu(y, 0.01)  # LeakyReLU_n (gs StyledConv)
             h = y + _plain_conv1x1(blk["sc"], h)
             c = _center_crop(coords, h.shape[1], h.shape[2])
@@ -445,6 +455,7 @@ class Generator:
               noises=None, noise_rng: Optional[jax.Array] = None,
               inject_index: Optional[jnp.ndarray] = None,
               ss_grids=None, skip_grids=None,
+              ss_tables_list=None, ss_tables_mode: str = "fused",
               compute_diversity: bool = False) -> Dict[str, jnp.ndarray]:
         """Pure forward. Latent pairing / coord sampling / mixing-index
         randomness happen in the training wrapper, not here."""
@@ -458,7 +469,8 @@ class Generator:
             else:
                 structure_latent = self.ss.apply(
                     params["ss"], global_latent[:, 0], local_latent, coords,
-                    cp, grids=ss_grids)
+                    cp, grids=ss_grids, tables_list=ss_tables_list,
+                    tables_mode=ss_tables_mode)
         if styles is None:
             styles = self.build_styles(params, global_latent, inject_index)
         img = self.ts.synthesize(params["ts"], structure_latent, styles, cp,

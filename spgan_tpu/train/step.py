@@ -38,6 +38,18 @@ def _build_step(cfg: Config, g: Generator, d: Discriminator):
     opt_g, opt_d = make_optimizers(cfg)
     batch = tp.batch_size
     n_latent = g.ts.n_latent
+    cdt = jnp.bfloat16 if tp.compute_dtype == "bfloat16" else jnp.float32
+    # Pallas tap sampler for the SS sphere convs (gradient-exact, replaces
+    # the XLA gathers that dominate the training step — see
+    # ops/pallas/sphere_sample.py); resolved at trace time
+    if tp.pallas_train_sampler not in ("auto", "on", "off"):
+        raise ValueError(
+            f"pallas_train_sampler must be auto|on|off, "
+            f"got {tp.pallas_train_sampler!r}")
+    use_sampler = g.ss is not None and (
+        tp.pallas_train_sampler == "on"
+        or (tp.pallas_train_sampler == "auto"
+            and jax.default_backend() == "tpu"))
 
     def sample_g_inputs(key, bsz):
         kgl, kll, kc, kidx, kn = jax.random.split(key, 5)
@@ -51,13 +63,22 @@ def _build_step(cfg: Config, g: Generator, d: Discriminator):
             gl = pair_inputs(gl)
             coords = pair_inputs(coords)
         inject = jax.random.randint(kidx, (), 1, n_latent)
-        return gl, ll, coords, ac, cp, inject, kn
+        # mixed precision: activations/weights compute in cdt (params stay
+        # f32 in the optimizer); losses upcast logits to f32
+        return gl.astype(cdt), ll.astype(cdt), coords, ac, cp, inject, kn
+
+    def ss_tables(cp, ll):
+        if not use_sampler:
+            return None, "fused"
+        return g.ss.train_tables(cp, ll.shape[1]), "sample"
 
     def g_forward(params_g, key, bsz, compute_diversity=True):
         gl, ll, coords, ac, cp, inject, kn = sample_g_inputs(key, bsz)
+        tbls, tmode = ss_tables(cp, ll)
         out = g.apply(params_g, global_latent=gl, local_latent=ll,
                       coords=coords, cp=cp, noise_rng=kn,
-                      inject_index=inject, compute_diversity=compute_diversity)
+                      inject_index=inject, compute_diversity=compute_diversity,
+                      ss_tables_list=tbls, ss_tables_mode=tmode)
         out["ac_coords"] = ac
         return out
 
@@ -81,10 +102,13 @@ def _build_step(cfg: Config, g: Generator, d: Discriminator):
                          compute_diversity=False)
         fake_img = jax.lax.stop_gradient(fake["gen"])
         fake_ac = fake["ac_coords"]
+        real_patch = real_patch.astype(cdt)
 
         def d_loss_fn(params_d):
-            fp = d.apply(params_d, fake_img)
-            rp = d.apply(params_d, real_patch)
+            fp = jax.tree_util.tree_map(
+                lambda v: v.astype(jnp.float32), d.apply(params_d, fake_img))
+            rp = jax.tree_util.tree_map(
+                lambda v: v.astype(jnp.float32), d.apply(params_d, real_patch))
             loss = losses.d_logistic_loss(rp["d_patch"], fp["d_patch"])
             aux = {"d_adv_loss": loss}
             if d.use_coord_ac:
@@ -124,7 +148,9 @@ def _build_step(cfg: Config, g: Generator, d: Discriminator):
         # ---------------- G phase ------------------------------------
         def g_loss_fn(params_g):
             out = g_forward(params_g, k_gfake, batch)
-            fp = d.apply(params_d, out["gen"])
+            fp = jax.tree_util.tree_map(
+                lambda v: v.astype(jnp.float32),
+                d.apply(params_d, out["gen"]))
             loss = losses.g_nonsaturating_loss(fp["d_patch"])
             aux = {"g_adv_loss": loss}
             if d.use_coord_ac:
@@ -153,8 +179,10 @@ def _build_step(cfg: Config, g: Generator, d: Discriminator):
             def ppl_loss_fn(params_g):
                 gl, ll, coords, ac, cp, inject, kn = sample_g_inputs(
                     k_ppl, pbsz)
+                tbls, tmode = ss_tables(cp, ll)
                 structure = g.ss.apply(params_g["ss"], gl[:, 0], ll, coords,
-                                       cp)
+                                       cp, tables_list=tbls,
+                                       tables_mode=tmode)
                 styles = g.build_styles(params_g, gl, inject)
 
                 def synth(st):
