@@ -36,6 +36,10 @@ class TrainParams:
     mixing: float = 0.9
     lr: float = 0.002
     g_path_start: int = 100000
+    optimizer: str = "adam"          # "adam" | "sgd" (reference train.py:838-879)
+    d_weight: float = 1.0           # D lr ratio (train.py:852-871)
+    lr_sch: Optional[Tuple[int, ...]] = None  # MultiStepLR milestones, gamma 0.5
+    freeze: bool = False            # freeze baseline-loaded G keys + all of D
 
     # architecture
     styleGAN2_baseline: bool = False
@@ -76,6 +80,7 @@ class TrainParams:
     coord_ac_vert_only: bool = True
     coord_ac_hori_only: bool = False
     coord_ac_categorical: bool = False
+    coord_pd_hori_only: bool = False
     no_ext: bool = True
 
     # numerics (TPU-native knobs; not in the reference)

@@ -73,6 +73,25 @@ def encode_coords(coords: jnp.ndarray, num_dir: int = 3) -> jnp.ndarray:
         ], axis=-1)
     if num_dir == 1:
         return jnp.tanh(coords)
+    if num_dir == 2:
+        # reference coord_handler.py:662-677: the shipped (no sin_cos_act /
+        # sphere attr) branch is the identity
+        return coords
+    if num_dir == 4:
+        return jnp.stack([
+            jnp.cos(coords[..., 0] * np.pi),
+            jnp.sin(coords[..., 0 + 1] * np.pi),
+            jnp.cos(coords[..., 2] * np.pi),
+            jnp.sin(coords[..., 3] * np.pi),
+        ], axis=-1)
+    if num_dir == 21:
+        # multi-frequency Fourier features (coord_handler.py:689-693):
+        # tanh(x), then cos/sin(y * pi * 2^i) for i in 0..9
+        parts = [jnp.tanh(coords[..., 0])]
+        for i in range(10):
+            parts.append(jnp.cos(coords[..., i * 2 + 1] * np.pi * 2 ** i))
+            parts.append(jnp.sin(coords[..., i * 2 + 2] * np.pi * 2 ** i))
+        return jnp.stack(parts, axis=-1)
     raise NotImplementedError(f"coord_num_dir={num_dir}")
 
 

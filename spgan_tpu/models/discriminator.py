@@ -6,6 +6,15 @@ Behavioral parity targets (reference models/stylegan2discriminator.py):
   * StyleGan2Discriminator :80-229 — 1x1 stem, log2(101)~7 -> 4 ResBlocks,
     minibatch stddev (:205-213), final conv + 2 linears -> d_patch, and the
     coord auxiliary head -> ac_coords_pred when coord_use_ac (:145-162,221).
+  * projection-D path (coord_use_pd, :128-130,164-175,198-227): taps the
+    feature before the LAST ResBlock, projects the ac label through two
+    linears, and adds coord_pd_w * <label_proj, sum_hw(feat)> to d_patch at
+    training time.
+  * categorical AC head (coord_ac_categorical, :146-154): coord_linear output
+    widens to num_dir * vert_sample_size.  (NOTE: the reference's categorical
+    LOSS branch is unreachable — losses.py:85 returns on vert_only before the
+    categorical check at :90, and categorical asserts vert_only — so only the
+    head-shape change is observable; replicated as such.)
 
 Notes:
   * blur kernel [1,3,3,1], zero-padded convs — the D is planar (no sphere ops).
@@ -113,6 +122,11 @@ class Discriminator:
     use_coord_ac: bool = True
     coord_num_dir: int = 3
     linear_ch: int = 512
+    use_coord_pd: bool = False
+    coord_pd_w: float = 0.0
+    coord_pd_hori_only: bool = False
+    coord_ac_categorical: bool = False
+    coord_vert_sample_size: int = 10
 
     @classmethod
     def from_config(cls, cfg: Config) -> "Discriminator":
@@ -121,7 +135,23 @@ class Discriminator:
                    channel_multiplier=tp.channel_multiplier,
                    batch_size=tp.batch_size,
                    use_coord_ac=tp.coord_use_ac,
-                   coord_num_dir=tp.coord_num_dir)
+                   coord_num_dir=tp.coord_num_dir,
+                   use_coord_pd=tp.coord_use_pd,
+                   coord_pd_w=tp.coord_pd_w,
+                   coord_pd_hori_only=tp.coord_pd_hori_only,
+                   coord_ac_categorical=tp.coord_ac_categorical,
+                   coord_vert_sample_size=tp.coord_vert_sample_size)
+
+    @property
+    def coord_proj_dim(self) -> int:
+        return (self.coord_num_dir - 1 if self.coord_pd_hori_only
+                else self.coord_num_dir)
+
+    @property
+    def ac_out_dim(self) -> int:
+        if self.coord_ac_categorical:
+            return self.coord_num_dir * self.coord_vert_sample_size
+        return self.coord_num_dir
 
     def channels(self) -> dict:
         cm = self.channel_multiplier
@@ -169,15 +199,27 @@ class Discriminator:
             ka, kb = jax.random.split(keys[-1])
             params["coord_linear"] = [
                 EqualLinear(flat, lc, activation="fused_lrelu").init(ka),
-                EqualLinear(lc, self.coord_num_dir).init(kb),
+                EqualLinear(lc, self.ac_out_dim).init(kb),
+            ]
+        if self.use_coord_pd:
+            kp1, kp2 = jax.random.split(jax.random.fold_in(keys[-1], 7))
+            params["coord_proj"] = [
+                EqualLinear(self.coord_proj_dim, lc,
+                            activation="fused_lrelu").init(kp1),
+                EqualLinear(lc, lc).init(kp2),
             ]
         return params
 
-    def apply(self, params: dict, img: jnp.ndarray) -> Dict[str, jnp.ndarray]:
-        """img: (B, H, W, 3) in [-1, 1]."""
+    def apply(self, params: dict, img: jnp.ndarray,
+              ac_coords: jnp.ndarray = None,
+              train: bool = False) -> Dict[str, jnp.ndarray]:
+        """img: (B, H, W, 3) in [-1, 1].  ac_coords: (B, num_dir) labels,
+        required at training time when use_coord_pd."""
         stem, blocks, final_conv, flat = self.plan()
         h = stem(params["stem"], img)
+        last_feat = None
         for b, p in zip(blocks, params["blocks"]):
+            last_feat = h          # feature entering the last ResBlock
             h = b(p, h)
         h = minibatch_stddev(h, self.stddev_group)
         h = final_conv(params["final_conv"], h)
@@ -191,8 +233,20 @@ class Discriminator:
         ret = {"d_patch": out}
         if self.use_coord_ac:
             c1 = EqualLinear(flat, lc, activation="fused_lrelu")
-            c2 = EqualLinear(lc, self.coord_num_dir)
+            c2 = EqualLinear(lc, self.ac_out_dim)
             ret["ac_coords_pred"] = c2.apply(
                 params["coord_linear"][1],
                 c1.apply(params["coord_linear"][0], h))
+        if self.use_coord_pd and train:
+            assert ac_coords is not None, "coord_pd needs ac_coords labels"
+            label = ac_coords[:, -self.coord_proj_dim:]
+            p1 = EqualLinear(self.coord_proj_dim, lc,
+                             activation="fused_lrelu")
+            p2 = EqualLinear(lc, lc)
+            label_proj = p2.apply(params["coord_proj"][1],
+                                  p1.apply(params["coord_proj"][0], label))
+            feat_proj = last_feat.sum(axis=(1, 2))  # (B, C)
+            proj_pred = (label_proj * feat_proj).sum(
+                axis=1, keepdims=True)
+            ret["d_patch"] = ret["d_patch"] + proj_pred * self.coord_pd_w
         return ret

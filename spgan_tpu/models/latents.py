@@ -40,7 +40,11 @@ class LatentSampler:
 
     def local_shape(self, spatial_size_enlarge: float = 1,
                     specific_shape: Optional[Tuple[int, int]] = None,
-                    exclude_padding: bool = False) -> Tuple[int, int]:
+                    exclude_padding: bool = False,
+                    padding_size: int = 0) -> Tuple[int, int]:
+        """padding_size adds extra rows/cols BEFORE the SS ring — the
+        reference's sample_slicing_local_latent (latent_sampler.py:131-179),
+        used by sliced/outpainting generation."""
         if specific_shape is not None:
             s = specific_shape
         elif spatial_size_enlarge != 1:
@@ -49,6 +53,7 @@ class LatentSampler:
             s = (size, size)
         else:
             s = (self.ts_input_size, self.ts_input_size)
+        s = (s[0] + padding_size, s[1] + padding_size)
         if not exclude_padding:
             s = (s[0] + 2 * self.ss_unfold_size, s[1] + 2 * self.ss_unfold_size)
         return s
@@ -56,9 +61,10 @@ class LatentSampler:
     def sample_local(self, key: jax.Array, batch: int,
                      spatial_size_enlarge: float = 1,
                      specific_shape: Optional[Tuple[int, int]] = None,
-                     exclude_padding: bool = False) -> jnp.ndarray:
+                     exclude_padding: bool = False,
+                     padding_size: int = 0) -> jnp.ndarray:
         h, w = self.local_shape(spatial_size_enlarge, specific_shape,
-                                exclude_padding)
+                                exclude_padding, padding_size)
         return jax.random.normal(key, (batch, h, w, self.local_dim))
 
     def sample_circular_local(self, key: jax.Array, batch: int,

@@ -43,13 +43,15 @@ def g_nonsaturating_loss(fake_pred):
     return jax.nn.softplus(-fake_pred).mean()
 
 
-def d_r1_penalty(d_fn, params, real_img):
+def d_r1_penalty(d_fn, params, real_img, **d_kwargs):
     """sum of squared grads of D(real) w.r.t. the real image, per sample mean.
 
-    d_fn(params, img) -> scalar-per-sample logits (B,1)."""
+    d_fn(params, img, **d_kwargs) -> scalar-per-sample logits (B,1); kwargs
+    carry ac labels / train flag for the projection-D path (reference
+    train.py:293-297 runs R1 through the full training-mode forward)."""
 
     def scalar_out(img):
-        return d_fn(params, img)["d_patch"].sum()
+        return d_fn(params, img, **d_kwargs)["d_patch"].sum()
 
     grad = jax.grad(scalar_out)(real_img)
     return jnp.square(grad).reshape(grad.shape[0], -1).sum(1).mean()

@@ -13,6 +13,7 @@ Parity surface (reference train.py):
 """
 from __future__ import annotations
 
+import dataclasses
 import os
 import time
 import traceback
@@ -46,7 +47,8 @@ def _to_grid(imgs: np.ndarray, ncol: int = 8) -> np.ndarray:
 
 
 def train(cfg: Config, debug: bool = False, seed: int = 0,
-          max_iters: Optional[int] = None) -> TrainState:
+          max_iters: Optional[int] = None,
+          baseline_ckpt: Optional[str] = None) -> TrainState:
     tp = cfg.train_params
     exp_root = os.path.join(cfg.log_dir, cfg.exp_name)
 
@@ -76,6 +78,29 @@ def train(cfg: Config, debug: bool = False, seed: int = 0,
     state = create_train_state(cfg, g, d,
                                jax.random.fold_in(base_key, 2 ** 31))
 
+    freeze_g_mask = None
+    if baseline_ckpt is not None:
+        # transfer learning from an InfinityGAN baseline ckpt
+        # (reference train.py:884-957); with train_params.freeze the loaded
+        # G keys (and the whole D) stop updating (:959-978)
+        import torch
+
+        from spgan_tpu.compat.baseline import import_torch_baseline_generator
+
+        raw = torch.load(baseline_ckpt, map_location="cpu",
+                         weights_only=False)
+        sd = raw.get("g_ema", raw.get("g", raw))
+        params_g, mask = import_torch_baseline_generator(sd, g,
+                                                         state.params_g)
+        state = dataclasses.replace(
+            state, params_g=params_g,
+            params_g_ema=jax.tree_util.tree_map(jnp.copy, params_g))
+        if tp.freeze:
+            freeze_g_mask = mask
+        n_loaded = sum(jax.tree_util.tree_leaves(mask))
+        print(f" [*] Baseline transfer: {n_loaded} tensors loaded"
+              f"{' (frozen)' if tp.freeze else ''}")
+
     start_iter = 0
     if ckpt_mgr is not None and ckpt_mgr.latest_step() is not None:
         state, _ = ckpt_mgr.restore(state)
@@ -88,7 +113,7 @@ def train(cfg: Config, debug: bool = False, seed: int = 0,
         from spgan_tpu.train.step import make_train_step_many
 
         step_fn_many = make_train_step_many(cfg, g, d)
-    step_fn = make_train_step(cfg, g, d)
+    step_fn = make_train_step(cfg, g, d, freeze_g_mask=freeze_g_mask)
 
     from spgan_tpu.data.pipeline import make_train_pipeline
 

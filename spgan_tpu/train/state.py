@@ -39,11 +39,30 @@ def make_optimizers(cfg: Config):
     tp = cfg.train_params
     g_ratio = reg_ratio(tp.g_reg_every)
     d_ratio = reg_ratio(tp.d_reg_every)
-    opt_g = optax.adam(tp.lr * g_ratio, b1=0.0 ** g_ratio,
-                       b2=0.99 ** g_ratio, eps=1e-8)
-    opt_d = optax.adam(tp.lr * d_ratio, b1=0.0 ** d_ratio,
-                       b2=0.99 ** d_ratio, eps=1e-8)
+    if tp.optimizer == "sgd":
+        # reference train.py:838-845,850-864 (SGD keeps the lr discount)
+        opt_g = optax.sgd(tp.lr * g_ratio)
+        opt_d = optax.sgd(tp.lr * d_ratio * tp.d_weight)
+    else:
+        opt_g = optax.adam(tp.lr * g_ratio, b1=0.0 ** g_ratio,
+                           b2=0.99 ** g_ratio, eps=1e-8)
+        opt_d = optax.adam(tp.lr * d_ratio * tp.d_weight,
+                           b1=0.0 ** d_ratio, b2=0.99 ** d_ratio, eps=1e-8)
     return opt_g, opt_d
+
+
+def lr_schedule_factor(cfg: Config, step):
+    """MultiStepLR(gamma=0.5) factor at `step` (traced ok) — the reference
+    steps both schedulers once per iteration (train.py:980-982)."""
+    import jax.numpy as jnp
+
+    tp = cfg.train_params
+    if not tp.lr_sch:
+        return None
+    f = jnp.ones((), jnp.float32)
+    for m in tp.lr_sch:
+        f = f * jnp.where(step >= m, 0.5, 1.0)
+    return f
 
 
 def create_train_state(cfg: Config, g: Generator, d: Discriminator,

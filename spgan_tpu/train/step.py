@@ -26,10 +26,12 @@ from spgan_tpu.models.discriminator import Discriminator
 from spgan_tpu.models.generator import Generator, pair_inputs
 from spgan_tpu.models import losses
 from spgan_tpu.models.latents import LatentSampler
-from spgan_tpu.train.state import TrainState, make_optimizers
+from spgan_tpu.train.state import (TrainState, lr_schedule_factor,
+                                    make_optimizers)
 
 
-def _build_step(cfg: Config, g: Generator, d: Discriminator):
+def _build_step(cfg: Config, g: Generator, d: Discriminator,
+                freeze_g_mask=None):
     tp = cfg.train_params
     sampler = LatentSampler(
         global_dim=tp.global_latent_dim, local_dim=tp.local_latent_dim,
@@ -50,6 +52,24 @@ def _build_step(cfg: Config, g: Generator, d: Discriminator):
         tp.pallas_train_sampler == "on"
         or (tp.pallas_train_sampler == "auto"
             and jax.default_backend() == "tpu"))
+
+    # freeze support (reference train.py:959-978): baseline-loaded G keys
+    # masked out of the update; the D is frozen wholesale.  MultiStepLR
+    # (train.py:980-982) scales updates by 0.5 per passed milestone —
+    # applied to the update (not the grad), which is exactly a lr factor.
+    freeze_d = tp.freeze
+
+    def mask_g(upd):
+        if freeze_g_mask is None:
+            return upd
+        return jax.tree_util.tree_map(
+            lambda u, frozen: jnp.zeros_like(u) if frozen else u,
+            upd, freeze_g_mask)
+
+    def scale_updates(upd, lr_factor):
+        if lr_factor is None:
+            return upd
+        return jax.tree_util.tree_map(lambda u: u * lr_factor, upd)
 
     def sample_g_inputs(key, bsz):
         kgl, kll, kc, kidx, kn = jax.random.split(key, 5)
@@ -96,6 +116,7 @@ def _build_step(cfg: Config, g: Generator, d: Discriminator):
         key = jax.random.fold_in(key, state.step)
         metrics: Dict[str, jnp.ndarray] = {}
         k_dfake, k_gfake, k_ppl = jax.random.split(key, 3)
+        lr_factor = lr_schedule_factor(cfg, state.step)
 
         # ---------------- D phase ------------------------------------
         fake = g_forward(state.params_g, k_dfake, batch,
@@ -106,9 +127,11 @@ def _build_step(cfg: Config, g: Generator, d: Discriminator):
 
         def d_loss_fn(params_d):
             fp = jax.tree_util.tree_map(
-                lambda v: v.astype(jnp.float32), d.apply(params_d, fake_img))
+                lambda v: v.astype(jnp.float32),
+                d.apply(params_d, fake_img, ac_coords=fake_ac, train=True))
             rp = jax.tree_util.tree_map(
-                lambda v: v.astype(jnp.float32), d.apply(params_d, real_patch))
+                lambda v: v.astype(jnp.float32),
+                d.apply(params_d, real_patch, ac_coords=real_ac, train=True))
             loss = losses.d_logistic_loss(rp["d_patch"], fp["d_patch"])
             aux = {"d_adv_loss": loss}
             if d.use_coord_ac:
@@ -125,13 +148,17 @@ def _build_step(cfg: Config, g: Generator, d: Discriminator):
         (_, d_aux), d_grads = jax.value_and_grad(d_loss_fn, has_aux=True)(
             state.params_d)
         upd, opt_d_state = opt_d.update(d_grads, state.opt_d, state.params_d)
-        params_d = optax.apply_updates(state.params_d, upd)
+        if freeze_d:
+            upd = jax.tree_util.tree_map(jnp.zeros_like, upd)
+        params_d = optax.apply_updates(state.params_d,
+                                       scale_updates(upd, lr_factor))
         metrics.update(d_aux)
 
         # ---------------- R1 phase -----------------------------------
         if do_r1 and tp.r1 != 0:
             def r1_fn(params_d):
-                return losses.d_r1_penalty(d.apply, params_d, real_patch)
+                return losses.d_r1_penalty(d.apply, params_d, real_patch,
+                                           ac_coords=real_ac, train=True)
 
             def r1_loss_fn(params_d):
                 r1 = r1_fn(params_d)
@@ -140,7 +167,10 @@ def _build_step(cfg: Config, g: Generator, d: Discriminator):
             (_, r1_val), r1_grads = jax.value_and_grad(
                 r1_loss_fn, has_aux=True)(params_d)
             upd, opt_d_state = opt_d.update(r1_grads, opt_d_state, params_d)
-            params_d = optax.apply_updates(params_d, upd)
+            if freeze_d:
+                upd = jax.tree_util.tree_map(jnp.zeros_like, upd)
+            params_d = optax.apply_updates(params_d,
+                                           scale_updates(upd, lr_factor))
             metrics["r1"] = r1_val
         else:
             metrics["r1"] = jnp.zeros(())
@@ -150,7 +180,8 @@ def _build_step(cfg: Config, g: Generator, d: Discriminator):
             out = g_forward(params_g, k_gfake, batch)
             fp = jax.tree_util.tree_map(
                 lambda v: v.astype(jnp.float32),
-                d.apply(params_d, out["gen"]))
+                d.apply(params_d, out["gen"], ac_coords=out["ac_coords"],
+                        train=True))
             loss = losses.g_nonsaturating_loss(fp["d_patch"])
             aux = {"g_adv_loss": loss}
             if d.use_coord_ac:
@@ -168,7 +199,8 @@ def _build_step(cfg: Config, g: Generator, d: Discriminator):
         (_, g_aux), g_grads = jax.value_and_grad(g_loss_fn, has_aux=True)(
             state.params_g)
         upd, opt_g_state = opt_g.update(g_grads, state.opt_g, state.params_g)
-        params_g = optax.apply_updates(state.params_g, upd)
+        params_g = optax.apply_updates(
+            state.params_g, scale_updates(mask_g(upd), lr_factor))
         metrics.update(g_aux)
 
         # ---------------- PPL phase ----------------------------------
@@ -199,7 +231,8 @@ def _build_step(cfg: Config, g: Generator, d: Discriminator):
             (_, (path_pen, mean_path, plen)), ppl_grads = \
                 jax.value_and_grad(ppl_loss_fn, has_aux=True)(params_g)
             upd, opt_g_state = opt_g.update(ppl_grads, opt_g_state, params_g)
-            params_g = optax.apply_updates(params_g, upd)
+            params_g = optax.apply_updates(
+                params_g, scale_updates(mask_g(upd), lr_factor))
             metrics["path"] = path_pen
             metrics["path_lengths"] = plen
         else:
@@ -224,9 +257,10 @@ def _build_step(cfg: Config, g: Generator, d: Discriminator):
     return step
 
 
-def make_train_step(cfg: Config, g: Generator, d: Discriminator):
+def make_train_step(cfg: Config, g: Generator, d: Discriminator,
+                    freeze_g_mask=None):
     return functools.partial(jax.jit, static_argnames=("do_r1", "do_ppl"))(
-        _build_step(cfg, g, d))
+        _build_step(cfg, g, d, freeze_g_mask=freeze_g_mask))
 
 
 def make_train_step_many(cfg: Config, g: Generator, d: Discriminator):

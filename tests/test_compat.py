@@ -59,3 +59,53 @@ def test_import_accepts_dataparallel_prefix():
     sd = {"module." + k: v for k, v in sd.items()}
     back = import_torch_generator(sd, g)
     _assert_trees_equal(params, back)
+
+
+def test_baseline_transfer_and_freeze_mask():
+    """--baseline_dir transfer (reference train.py:884-957, utils.py:397-463):
+    a planar baseline sd (SS planar convs at conv_stack.{0..3}, no sphere /
+    sp_conv keys) loads into the interleaved layout; unloaded leaves keep the
+    template init and the freeze mask marks exactly the loaded leaves."""
+    from spgan_tpu.compat.baseline import import_torch_baseline_generator
+
+    g = small_gen()
+    trained = g.init(jax.random.PRNGKey(3))
+    # make "trained" distinguishable from a fresh init
+    trained = jax.tree_util.tree_map(lambda x: x + 0.25, trained)
+    sd_full = export_torch_style_state_dict(trained, g)
+
+    # build the baseline-style sd: planar convs re-indexed 2i+1 -> i,
+    # sphere/sc/sp_conv keys dropped
+    sd_base = {}
+    for k, v in sd_full.items():
+        if ".sp_convs." in k or ".sc." in k:
+            continue
+        marker = "structure_synthesizer.implicit_model.conv_stack."
+        if marker in k:
+            idx = int(k[len(marker):].split(".")[0])
+            if idx % 2 == 0:           # sphere blocks absent in a baseline
+                continue
+            k = k.replace(f"conv_stack.{idx}.", f"conv_stack.{idx // 2}.")
+        sd_base[k] = v
+
+    template = g.init(jax.random.PRNGKey(0))
+    params, mask = import_torch_baseline_generator(sd_base, g, template)
+
+    for i, blk in enumerate(params["ss"]["blocks"]):
+        np.testing.assert_allclose(
+            np.asarray(blk["planar"]["conv"]["weight"]),
+            np.asarray(trained["ss"]["blocks"][i]["planar"]["conv"]["weight"]),
+            atol=1e-6)
+        assert mask["ss"]["blocks"][i]["planar"]["conv"]["weight"] is True
+        # sphere + sc untouched, unfrozen
+        np.testing.assert_allclose(
+            np.asarray(blk["sphere"]["conv"]["weight"]),
+            np.asarray(template["ss"]["blocks"][i]["sphere"]["conv"]["weight"]))
+        assert mask["ss"]["blocks"][i]["sphere"]["conv"]["weight"] is False
+        assert mask["ss"]["blocks"][i]["sc"]["weight"] is False
+    np.testing.assert_allclose(
+        np.asarray(params["ts"]["convs"][0]["conv"]["weight"]),
+        np.asarray(trained["ts"]["convs"][0]["conv"]["weight"]), atol=1e-6)
+    assert mask["ts"]["convs"][0]["conv"]["weight"] is True
+    for spc in mask["ts"]["sp_convs"]:
+        assert spc["weight"] is False

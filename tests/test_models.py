@@ -155,3 +155,64 @@ def test_style_fusion_synthesis(gen_setup):
     img = g.ts.synthesize(params["ts"], structure, fused_styles, cp)
     assert img.shape == (2, 101, 101, 3)
     assert np.isfinite(np.asarray(img)).all()
+
+
+def test_discriminator_coord_pd_projection():
+    """projection-D (reference stylegan2discriminator.py:164-175,218-227):
+    training-mode forward adds coord_pd_w * <proj(label), sum_hw(feat)> to
+    d_patch; eval-mode forward is unchanged."""
+    d = Discriminator(patch_size=101, channel_multiplier=1, batch_size=4,
+                      use_coord_pd=True, coord_pd_w=0.5, linear_ch=512)
+    params = d.init(jax.random.PRNGKey(0))
+    img = jax.random.normal(jax.random.PRNGKey(1), (4, 101, 101, 3))
+    ac = jax.random.normal(jax.random.PRNGKey(2), (4, 3))
+    base = d.apply(params, img)["d_patch"]
+    trained = d.apply(params, img, ac_coords=ac, train=True)["d_patch"]
+    assert trained.shape == (4, 1)
+    assert float(np.abs(np.asarray(trained - base)).max()) > 0
+    # hori_only drops the first label channel from the projection
+    d2 = Discriminator(patch_size=101, channel_multiplier=1, batch_size=4,
+                       use_coord_pd=True, coord_pd_w=0.5,
+                       coord_pd_hori_only=True, linear_ch=512)
+    assert d2.coord_proj_dim == 2
+    p2 = d2.init(jax.random.PRNGKey(0))
+    assert p2["coord_proj"][0]["weight"].shape[0] == 2
+
+
+def test_discriminator_categorical_ac_head():
+    """coord_ac_categorical widens coord_linear to num_dir*vert_sample_size
+    (reference stylegan2discriminator.py:146-154)."""
+    d = Discriminator(patch_size=101, channel_multiplier=1, batch_size=4,
+                      coord_ac_categorical=True, coord_vert_sample_size=10)
+    params = d.init(jax.random.PRNGKey(0))
+    img = jax.random.normal(jax.random.PRNGKey(1), (4, 101, 101, 3))
+    out = d.apply(params, img)
+    assert out["ac_coords_pred"].shape == (4, 30)
+
+
+def test_encode_coords_all_num_dir_variants():
+    """All reference encodings (coord_handler.py:658-694): 1, 2 (identity in
+    the shipped branch), 3, 4, 5, 21."""
+    from spgan_tpu.geometry.coords import encode_coords
+
+    rng = np.random.RandomState(0)
+    for nd in (1, 2, 3, 4, 5, 21):
+        x = jnp.asarray(rng.randn(2, 5, 5, nd).astype(np.float32))
+        y = np.asarray(encode_coords(x, nd))
+        assert y.shape == x.shape
+        xn = np.asarray(x)
+        if nd == 1:
+            np.testing.assert_allclose(y, np.tanh(xn), rtol=1e-6)
+        elif nd == 2:
+            np.testing.assert_allclose(y, xn)
+        elif nd == 4:
+            np.testing.assert_allclose(y[..., 0], np.cos(xn[..., 0] * np.pi),
+                                       rtol=1e-5, atol=1e-6)
+            np.testing.assert_allclose(y[..., 3], np.sin(xn[..., 3] * np.pi),
+                                       rtol=1e-5, atol=1e-6)
+        elif nd == 21:
+            np.testing.assert_allclose(y[..., 0], np.tanh(xn[..., 0]),
+                                       rtol=1e-6)
+            np.testing.assert_allclose(
+                y[..., 19], np.cos(xn[..., 19] * np.pi * 2 ** 9),
+                rtol=1e-4, atol=1e-4)

@@ -94,14 +94,20 @@ def test_sphere_conv_sample_mode_fwd_and_grads(rng):
     w0 = params["conv"]["weight"]
     y_d = dense(x, w0, style)
     y_s = sampled(x, w0, style)
+    # conv vs einsum reduce in different orders; with the session-scoped rng
+    # the data differs by test order, so bound by worst-case f32 noise
     np.testing.assert_allclose(np.asarray(y_s), np.asarray(y_d),
-                               atol=1e-4, rtol=1e-3)
+                               atol=4e-4, rtol=2e-3)
 
     cot = jnp.asarray(rng.randn(*y_d.shape).astype(np.float32))
     loss = lambda f: lambda *a: (f(*a) * cot).sum()
     g_d = jax.grad(loss(dense), argnums=(0, 1, 2))(x, w0, style)
     g_s = jax.grad(loss(sampled), argnums=(0, 1, 2))(x, w0, style)
     for a, b, name in zip(g_s, g_d, ("x", "weight", "style")):
-        np.testing.assert_allclose(
-            np.asarray(a), np.asarray(b), atol=5e-4, rtol=5e-4,
-            err_msg=f"grad mismatch for {name}")
+        a, b = np.asarray(a), np.asarray(b)
+        # grads sum ~1e3 heavily-cancelling f32 products (conv vs einsum
+        # reduce in different orders), so compare against the grad SCALE,
+        # not element-wise relative error
+        scale = max(np.abs(b).max(), 1e-6)
+        err = np.abs(a - b).max() / scale
+        assert err < 2e-4, f"grad mismatch for {name}: rel-to-scale {err}"

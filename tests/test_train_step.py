@@ -187,3 +187,69 @@ def test_pallas_sampler_step_matches_xla_step():
         bad += int((diff > 5e-4).sum())
         assert float(diff.max()) < 0.01
     assert bad / tot < 0.005, f"{bad}/{tot} params diverged"
+
+
+def test_freeze_mask_and_lr_schedule_and_sgd():
+    """freeze (reference train.py:959-978), MultiStepLR gamma 0.5
+    (:980-982), and the SGD optimizer option (:838-845)."""
+    cfg = tiny_config()
+    tp = cfg.train_params
+    tp.batch_size = 4
+    tp.n_mlp = 1
+    tp.ss_n_layers = 1
+    tp.optimizer = "sgd"
+    tp.lr_sch = (1,)        # halve lr from step >= 1
+    tp.freeze = True        # freezes the whole D
+    g = Generator.from_config(cfg)
+    object.__setattr__(g.ts, "channel_base", 16)
+    d = Discriminator(patch_size=101, channel_multiplier=1,
+                      batch_size=tp.batch_size,
+                      use_coord_ac=True, coord_num_dir=3, linear_ch=16)
+    small = {k: 16 for k in (4, 8, 16, 32, 64, 128, 256, 512, 1024, 2048)}
+    object.__setattr__(d, "channels", lambda: small)
+
+    state0 = create_train_state(cfg, g, d, jax.random.PRNGKey(0))
+    # freeze every ss leaf of G
+    freeze_g = jax.tree_util.tree_map(lambda _: False, state0.params_g)
+    freeze_g["ss"] = jax.tree_util.tree_map(lambda _: True, freeze_g["ss"])
+
+    rng = np.random.RandomState(3)
+    patch = jnp.asarray(rng.randn(4, 101, 101, 3).astype(np.float32))
+    ac = jnp.asarray(rng.uniform(-1, 1, (4, 3)).astype(np.float32))
+
+    step = make_train_step(cfg, g, d, freeze_g_mask=freeze_g)
+    s1, _ = step(state0, patch, ac, jax.random.PRNGKey(7),
+                 do_r1=True, do_ppl=False)
+
+    def delta(a, b):
+        return max(float(jnp.abs(x - y).max())
+                   for x, y in zip(jax.tree_util.tree_leaves(a),
+                                   jax.tree_util.tree_leaves(b)))
+
+    assert delta(s1.params_d, state0.params_d) == 0.0       # D frozen
+    assert delta(s1.params_g["ss"], state0.params_g["ss"]) == 0.0
+    d_ts_step0 = delta(s1.params_g["ts"], state0.params_g["ts"])
+    assert d_ts_step0 > 0                                   # TS trains
+
+    # lr schedule: step 0 (full lr) vs step >= 1 (halved).  With SGD the
+    # update is lr * grad, so the same grads at half lr move half as far —
+    # compare a second step's magnitude against a no-schedule run.
+    # (deep-copy: _build_step closes over cfg, and each static (do_r1,
+    # do_ppl) variant traces lazily — mutating tp.lr_sch in place would
+    # rewrite the schedule of the not-yet-traced variants of `step`)
+    import copy
+
+    cfg_nosch = copy.deepcopy(cfg)
+    cfg_nosch.train_params.lr_sch = None
+    step_nosch = make_train_step(cfg_nosch, g, d, freeze_g_mask=freeze_g)
+    s2_sch, _ = step(s1, patch, ac, jax.random.PRNGKey(7),
+                     do_r1=False, do_ppl=False)
+    s2_nos, _ = step_nosch(s1, patch, ac, jax.random.PRNGKey(7),
+                           do_r1=False, do_ppl=False)
+    for a, b, c in zip(jax.tree_util.tree_leaves(s2_sch.params_g["ts"]),
+                       jax.tree_util.tree_leaves(s2_nos.params_g["ts"]),
+                       jax.tree_util.tree_leaves(s1.params_g["ts"])):
+        # atol: the deltas subtract O(1)-magnitude stored params, so a few
+        # ulps of the PARAM value (~5e-7) dominate, not ulps of the delta
+        np.testing.assert_allclose(np.asarray(a - c), np.asarray(b - c) / 2.0,
+                                   atol=1e-6)

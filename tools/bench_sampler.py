@@ -5,7 +5,7 @@ remote-attached runtime block_until_ready() returns early (measured
 "8 ms/iter" for a step whose math lower-bounds at ~50 ms), so only
 value-fetch timings are trustworthy.
 
-Usage: python tools/bench_sampler.py [on|off] [iters]
+Usage: python tools/bench_sampler.py [on|off] [iters] [float32|bfloat16]
 """
 import os, sys, time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -22,9 +22,11 @@ from spgan_tpu.train.step import make_train_step
 
 mode = sys.argv[1] if len(sys.argv) > 1 else "off"
 iters = int(sys.argv[2]) if len(sys.argv) > 2 else 20
+dtype = sys.argv[3] if len(sys.argv) > 3 else "float32"
 cfg = Config()
 tp = cfg.train_params
 tp.pallas_train_sampler = mode
+tp.compute_dtype = dtype
 g = Generator.from_config(cfg)
 d = Discriminator.from_config(cfg)
 mesh = make_mesh()
@@ -40,7 +42,7 @@ for name, r1, ppl in (("plain", False, False), ("r1+ppl", True, True)):
     t0 = time.perf_counter()
     s2, m = step(state, real, ac, jax.random.PRNGKey(1), do_r1=r1, do_ppl=ppl)
     _ = float(m["g_total_loss"])
-    print(f"[{mode}] {name}: compile+1st {time.perf_counter()-t0:.1f}s",
+    print(f"[{mode}/{dtype}] {name}: compile+1st {time.perf_counter()-t0:.1f}s",
           flush=True)
     t0 = time.perf_counter()
     for i in range(iters):
@@ -48,5 +50,5 @@ for name, r1, ppl in (("plain", False, False), ("r1+ppl", True, True)):
                      do_r1=r1, do_ppl=ppl)
         _ = float(m["g_total_loss"])  # host fetch == real sync point
     dt = (time.perf_counter() - t0) / iters
-    print(f"[{mode}] {name}: {dt*1000:.1f} ms/iter "
+    print(f"[{mode}/{dtype}] {name}: {dt*1000:.1f} ms/iter "
           f"({1/dt:.2f} it/s, batch {tp.batch_size})", flush=True)

@@ -15,6 +15,9 @@ def main():
     ap.add_argument("--debug", action="store_true")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--max-iters", type=int, default=None)
+    ap.add_argument("--baseline-ckpt", default=None,
+                    help="transfer-learn from an InfinityGAN baseline ckpt "
+                         "(reference --baseline_dir)")
     ap.add_argument("--coordinator", default=None,
                     help="multi-host: coordinator address host:port")
     ap.add_argument("--num-processes", type=int, default=None)
@@ -36,7 +39,8 @@ def main():
     cfg = load_config(args.config)
     if args.debug:
         cfg.train_params.batch_size = min(cfg.train_params.batch_size, 8)
-    train(cfg, debug=args.debug, seed=args.seed, max_iters=args.max_iters)
+    train(cfg, debug=args.debug, seed=args.seed, max_iters=args.max_iters,
+          baseline_ckpt=args.baseline_ckpt)
 
 
 if __name__ == "__main__":
