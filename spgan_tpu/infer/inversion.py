@@ -36,6 +36,17 @@ class InversionResult:
         return {"local_latent": self.local_latent, "noises": self.noises,
                 "wplus": self.wplus}
 
+    def save(self, path: str) -> None:
+        """Write the record in the layout test.py --inv-records reads."""
+        import numpy as np
+
+        arrs = {"z": np.asarray(self.local_latent)[None],
+                "wplus": np.asarray(self.wplus)[None],
+                "losses": np.asarray(self.losses)}
+        for i, n in enumerate(self.noises):
+            arrs[f"noise{i:02d}"] = np.asarray(n)[None]
+        np.savez(path, **arrs)
+
 
 def invert_patch(g: Generator, params: dict, target: jnp.ndarray,
                  cp: CoordsPartial, coords: jnp.ndarray,

@@ -241,6 +241,20 @@ def train(cfg: Config, debug: bool = False, seed: int = 0,
                 now = time.time()
                 writer.add_scalar("utils/iters_per_sec",
                                   lp.log_tick / max(now - t_last, 1e-9), it)
+                # parameter histograms (reference train.py:454-458); one
+                # representative leaf per module to bound TB event size
+                try:
+                    host_g = jax.device_get(state.params_g)
+                    picks = {"ts_conv0_w":
+                             host_g["ts"]["convs"][0]["conv"]["weight"]}
+                    if "ss" in host_g:
+                        picks["ss_sphere0_w"] = host_g["ss"]["blocks"][0][
+                            "sphere"]["conv"]["weight"]
+                    for hk, hv in picks.items():
+                        writer.add_histogram(f"params/{hk}",
+                                             np.asarray(hv).ravel(), it)
+                except Exception:
+                    pass
                 t_last = now
                 # device memory observability (reference utils.py:563-579)
                 try:

@@ -147,6 +147,7 @@ def _build_step(cfg: Config, g: Generator, d: Discriminator,
 
         (_, d_aux), d_grads = jax.value_and_grad(d_loss_fn, has_aux=True)(
             state.params_d)
+        metrics["grad_norm/d"] = optax.global_norm(d_grads)
         upd, opt_d_state = opt_d.update(d_grads, state.opt_d, state.params_d)
         if freeze_d:
             upd = jax.tree_util.tree_map(jnp.zeros_like, upd)
@@ -198,6 +199,13 @@ def _build_step(cfg: Config, g: Generator, d: Discriminator,
 
         (_, g_aux), g_grads = jax.value_and_grad(g_loss_fn, has_aux=True)(
             state.params_g)
+        # per-module grad norms (TPU-native equivalent of the reference's
+        # parameter-grad histograms, train.py:361-371,454-458 — scalars keep
+        # the device->host metric transfer tiny)
+        metrics["grad_norm/g"] = optax.global_norm(g_grads)
+        if "ss" in g_grads:
+            metrics["grad_norm/g_ss"] = optax.global_norm(g_grads["ss"])
+        metrics["grad_norm/g_ts"] = optax.global_norm(g_grads["ts"])
         upd, opt_g_state = opt_g.update(g_grads, state.opt_g, state.params_g)
         params_g = optax.apply_updates(
             state.params_g, scale_updates(mask_g(upd), lr_factor))

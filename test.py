@@ -29,6 +29,13 @@ def main():
     ap.add_argument("--num-gen", type=int, default=None)
     ap.add_argument("--seed", type=int, default=None)
     ap.add_argument("--save-root", default=None)
+    ap.add_argument("--inv-records", default=None,
+                    help="colon-separated inversion record files (.npz from "
+                         "invert_patch) pasted into the latent fields "
+                         "(reference --inv-records, test.py:172-180)")
+    ap.add_argument("--inv-placements", default=None,
+                    help="comma-separated horizontal centers in [0,1], one "
+                         "per record (default 0.5)")
     ap.add_argument("--inter-ckpt", action="store_true",
                     help="dump TestingVars (.npz) next to each saved batch")
     ap.add_argument("--debug", action="store_true")
@@ -85,9 +92,37 @@ def main():
     num_gen = 1 if args.debug else cfg.task.num_gen
     n_batches = max(1, (num_gen + batch - 1) // batch)
     key = jax.random.PRNGKey(seed)
+
+    inv_records = None
+    if args.inv_records:
+        inv_records = []
+        for path in args.inv_records.split(":"):
+            data = np.load(path)
+            rec = {"local_latent": data["z"][0],
+                   "noises": [data[k] [0] for k in sorted(data.files)
+                              if k.startswith("noise")]}
+            if "gz" in data.files:
+                rec["global_latent"] = data["gz"]
+            inv_records.append(rec)
+        if args.inv_placements:
+            placements = [float(v) for v in args.inv_placements.split(",")]
+        else:
+            placements = [0.5] * len(inv_records)
+
     for i in range(n_batches):
         key, k = jax.random.split(key)
-        if args.inter_ckpt:
+        if inv_records is not None:
+            from spgan_tpu.infer.managers import save_image_batch
+
+            tv = manager.create_vars(k)
+            tv.replace_by_records(manager.engine.plan, inv_records,
+                                  placements)
+            out = manager.generate_with_vars(tv)
+            cropped = np.asarray(manager.engine.crop_to_target(out))
+            os.makedirs(save_root, exist_ok=True)
+            save_image_batch(cropped, save_root, manager.cur_global_id)
+            manager.cur_global_id += cropped.shape[0]
+        elif args.inter_ckpt:
             tv = manager.create_vars(k)
             out = manager.generate_with_vars(tv)
             os.makedirs(save_root, exist_ok=True)

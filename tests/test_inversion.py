@@ -41,3 +41,28 @@ def test_invert_generated_patch():
     rec = res.record()
     assert rec["local_latent"].shape[-1] == 8
     assert len(rec["noises"]) == g.ts.num_layers
+
+
+def test_inversion_record_save_roundtrip(tmp_path):
+    """InversionResult.save writes the npz layout the test.py --inv-records
+    reader parses (z / noiseNN / wplus keys, batch-dim stripped on read)."""
+    from spgan_tpu.infer.inversion import InversionResult
+
+    res = InversionResult(
+        local_latent=np.zeros((35, 35, 8), np.float32) + 0.5,
+        noises=[np.zeros((s, s, 1), np.float32) + i
+                for i, s in enumerate((19, 17, 31))],
+        wplus=np.zeros((9, 16), np.float32),
+        losses=np.linspace(1.0, 0.1, 5).astype(np.float32))
+    path = str(tmp_path / "rec.npz")
+    res.save(path)
+
+    data = np.load(path)
+    rec = {"local_latent": data["z"][0],
+           "noises": [data[k][0] for k in sorted(data.files)
+                      if k.startswith("noise")]}
+    assert rec["local_latent"].shape == (35, 35, 8)
+    assert len(rec["noises"]) == 3
+    for i, n in enumerate(rec["noises"]):
+        np.testing.assert_allclose(n, i)   # order preserved by zero-pad sort
+    assert data["wplus"].shape == (1, 9, 16)
