@@ -4,12 +4,15 @@ configs/test/spgan_384x768.yaml: batch 16, 60 generator calls per panorama).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
-vs_baseline: the reference repo publishes no numbers (BASELINE.md); its
-harness measures sec/image on GPU. As a driver-stable proxy we report
-panoramas/sec/chip and set vs_baseline against a 1.0 pano/s reference point.
+vs_baseline: measured ratio against the reference implementation running on
+the CPU of this box (the reference publishes no numbers, BASELINE.md). The
+denominator comes from BASELINE_cpu.json, produced by
+tools/bench_reference_cpu.py — the ACTUAL reference generator + close-loop
+manager at /root/reference with --random-init --speed-benchmark semantics.
+If the file is absent, vs_baseline is null rather than fabricated.
 """
 import json
-import sys
+import os
 import time
 
 
@@ -48,11 +51,21 @@ def main():
 
     panos = iters * batch
     panos_per_sec = panos / dt
+
+    baseline_file = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                 "BASELINE_cpu.json")
+    vs_baseline = None
+    if os.path.exists(baseline_file):
+        with open(baseline_file) as f:
+            ref = json.load(f)
+        if ref.get("panos_per_sec"):
+            vs_baseline = round(panos_per_sec / ref["panos_per_sec"], 2)
+
     print(json.dumps({
         "metric": "closeloop_pano_384x768_throughput",
         "value": round(panos_per_sec, 4),
         "unit": "panoramas/sec/chip",
-        "vs_baseline": round(panos_per_sec / 1.0, 4),
+        "vs_baseline": vs_baseline,
     }))
 
 
