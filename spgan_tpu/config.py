@@ -109,8 +109,9 @@ class DataParams:
     num_train: int = 10000
     lmdb_root: str = "infinityGAN-lmdb"
     raw_data_root: str = "data/matterport3d_panorama"
-    # TPU-native additions
-    source: str = "synthetic"  # "synthetic" | "folder" | "lmdb" | "tfds"
+    # TPU-native additions.  "spr" is the packed record format for the
+    # native C++ loader (convert a reference LMDB with tools/convert_lmdb.py)
+    source: str = "synthetic"  # "synthetic" | "folder" | "npy" | "spr"
     folder: Optional[str] = None
 
 
@@ -142,9 +143,18 @@ class TaskConfig:
     width: int = 768
     batch_size: int = 16
     num_gen: int = 10000
+    # accepted for reference-yaml compatibility; dead in the reference too
+    # (appears only in its test configs, never read by any code)
     lowres_height: int = 128
+    # reference parallel batching (base_test_manager.py:219-261); maps onto
+    # the engine's patch_chunk (lattice positions folded into device batch)
     parallel_batch_size: Optional[int] = None
     init_index: Optional[int] = None
+    # per-sample seeds: batch i uses seed i (reference test.py:78-82 computes
+    # seeds=range(num_gen) when task.seeds exists; quirk: the reference's loop
+    # assigns the per-iter seed but never re-applies it — we actually fold it
+    # into the generation key so every sample is reproducible by index)
+    seeds: bool = False
     # TPU-native: how many lattice positions are folded into one device batch
     patch_chunk: int = 4
 

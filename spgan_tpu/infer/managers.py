@@ -45,6 +45,7 @@ class BaseManager:
     cur_global_id: int = 0
     accum_exec_times: List[float] = field(default_factory=list)
     engine: Optional[PanoramaEngine] = None
+    full_image: Optional[np.ndarray] = None  # last uncropped meta batch
 
     @property
     def plan(self) -> LatticePlan:
@@ -60,9 +61,13 @@ class BaseManager:
         task = self.config.task
         build = build_close_loop_plan if close_loop else build_infinite_plan
         plan = build(self.g, task.height, task.width)
+        # parallel_batch_size (reference base_test_manager.py:219-261: queue N
+        # patch-kwargs and batch one G call) maps onto the engine's
+        # patch_chunk — lattice positions folded into the device batch
+        patch_chunk = task.parallel_batch_size or task.patch_chunk
         return PanoramaEngine(
             g=self.g, plan=plan, batch=task.batch_size,
-            patch_chunk=task.patch_chunk,
+            patch_chunk=patch_chunk,
             grid_partial=self.config.train_params.partial,
             compute_dtype=self.config.train_params.compute_dtype)
 
@@ -89,6 +94,7 @@ class BaseManager:
             jnp.asarray(vars.local_latent),
             [jnp.asarray(n) for n in vars.noises])
         vars.meta_img = np.asarray(meta)
+        self.full_image = vars.meta_img
         return vars.meta_img
 
     def regenerate(self, vars, update_by_ss_map: Optional[np.ndarray] = None
@@ -137,11 +143,23 @@ class BaseManager:
         if write_gpu_time:
             meta.block_until_ready()
             self.accum_exec_times.append(time.perf_counter() - t0)
+        self.full_image = np.asarray(meta)
         out = np.asarray(self.engine.crop_to_target(meta))
         if save and self.save_root is not None:
             save_image_batch(out, self.save_root, self.cur_global_id)
         self.cur_global_id += out.shape[0]
         return out
+
+    def save_full_imgs(self) -> None:
+        """Save the last batch's uncropped meta images as <id>full.png
+        (reference --save_all_space -> save_full_imgs,
+        close_loop_infinite_generation.py:35-46; called after run_next, so
+        ids are cur_global_id - batch + i)."""
+        assert self.full_image is not None, \
+            "run_next/generate_with_vars first"
+        start = self.cur_global_id - self.full_image.shape[0]
+        save_image_batch(self.full_image, self.save_root, start,
+                         suffix="full")
 
     def get_exec_time_stats(self, warmup: int = 10):
         """Mean/std of per-call times, discarding the first `warmup` samples

@@ -3,17 +3,21 @@
 
     python test.py --model-config configs/model/spgan.yaml \
                    --test-config configs/test/spgan_384x768.yaml \
-                   [--ckpt PATH] [--speed-benchmark] [--calc-flops] \
-                   [--num-gen N] [--seed S] [--save-root DIR]
+                   [--ckpt PATH] [--random-init] [--speed-benchmark] \
+                   [--calc-flops] [--inter-ckpt PATH] [--save_all_space] \
+                   [--num-gen N] [--seed S] [--save-root DIR] [--exp-suffix S]
 
-Without --ckpt the generator runs with fresh random weights (useful for
-speed benchmarking / smoke tests; image quality obviously requires a
-trained checkpoint — use tools/import_torch_ckpt.py to convert the released
-SP-GAN.ckpt, or a spgan_tpu training checkpoint directory).
+Without --ckpt (or with --random-init) the generator runs with fresh random
+weights (useful for speed benchmarking / smoke tests; image quality obviously
+requires a trained checkpoint — use spgan_tpu.compat.load.load_generator_params
+to convert the released SP-GAN.ckpt, or point --ckpt at a spgan_tpu training
+checkpoint directory).
 """
 import argparse
+import glob
 import json
 import os
+import shutil
 import socket
 import time
 
@@ -24,6 +28,12 @@ def main():
     ap.add_argument("--test-config", required=True)
     ap.add_argument("--ckpt", default=None,
                     help="orbax checkpoint dir or converted .npz params")
+    ap.add_argument("--random-init", action="store_true",
+                    help="skip checkpoint loading, use initialized weights "
+                         "(reference test.py:326-328)")
+    ap.add_argument("--exp-suffix", default=None,
+                    help="suffix appended to the save directory name "
+                         "(reference test.py:202)")
     ap.add_argument("--speed-benchmark", action="store_true")
     ap.add_argument("--calc-flops", action="store_true")
     ap.add_argument("--num-gen", type=int, default=None)
@@ -36,8 +46,19 @@ def main():
     ap.add_argument("--inv-placements", default=None,
                     help="comma-separated horizontal centers in [0,1], one "
                          "per record (default 0.5)")
-    ap.add_argument("--inter-ckpt", action="store_true",
-                    help="dump TestingVars (.npz) next to each saved batch")
+    ap.add_argument("--inter-ckpt", default=None, metavar="PATH",
+                    help="load saved TestingVars (.npz file, or a directory "
+                         "of them — one per iteration) and regenerate from "
+                         "them (reference test.py:69-74)")
+    ap.add_argument("--dump-vars", action="store_true",
+                    help="dump TestingVars (.npz) next to each saved batch "
+                         "(producer side of --inter-ckpt)")
+    ap.add_argument("--save_all_space", action="store_true",
+                    help="additionally save the uncropped meta image as "
+                         "<id>full.png (reference close_loop:35-46)")
+    ap.add_argument("--clear-fid-cache", action="store_true",
+                    help="remove the cached real-dataset FID statistics "
+                         "(.fid-cache/) before running")
     ap.add_argument("--debug", action="store_true")
     args = ap.parse_args()
 
@@ -48,20 +69,30 @@ def main():
 
     enable_compilation_cache()
     from spgan_tpu.config import load_config
-    from spgan_tpu.models.generator import Generator
     from spgan_tpu.utils.misc import import_func, manually_seed
 
     cfg = load_config(args.model_config, args.test_config)
+    if cfg.task.interactive:
+        raise ValueError(
+            "task.interactive is not a CLI mode here: use the programmatic "
+            "editing API (TestingVars.update_* + manager.regenerate, see "
+            "tests/test_interactive.py) instead of the reference's "
+            "interactive tool.")
     if args.num_gen is not None:
         cfg.task.num_gen = args.num_gen
     seed = args.seed if args.seed is not None else cfg.task.seed
     manually_seed(seed)
 
-    g = Generator.from_config(cfg)
+    if args.clear_fid_cache and os.path.isdir(".fid-cache"):
+        shutil.rmtree(".fid-cache")
+        print(" [*] Cleared .fid-cache/")
 
-    if args.ckpt is None:
+    g = import_func(cfg.train_params.g_arch).from_config(cfg)
+
+    if args.ckpt is None or args.random_init:
         params_ema = g.init(jax.random.PRNGKey(seed))
-        print(" [!] No --ckpt given: using randomly initialized weights.")
+        print(" [!] Using randomly initialized weights"
+              + (" (--random-init)" if args.random_init else " (no --ckpt)"))
     else:
         from spgan_tpu.compat.load import load_generator_params
 
@@ -79,9 +110,11 @@ def main():
             n_patches, pretty(fl["flops_all"] * n_patches)))
         return
 
+    test_name = os.path.splitext(os.path.basename(args.test_config))[0]
+    if args.exp_suffix:
+        test_name = f"{test_name}_{args.exp_suffix}"
     save_root = args.save_root or os.path.join(
-        cfg.log_dir, cfg.exp_name, "test",
-        os.path.splitext(os.path.basename(args.test_config))[0])
+        cfg.log_dir, cfg.exp_name, "test", test_name)
 
     manager_cls = import_func(cfg.task.task_manager)
     manager = manager_cls(g=g, params_ema=params_ema, config=cfg,
@@ -109,33 +142,57 @@ def main():
         else:
             placements = [0.5] * len(inv_records)
 
-    for i in range(n_batches):
-        key, k = jax.random.split(key)
-        if inv_records is not None:
-            from spgan_tpu.infer.managers import save_image_batch
+    # --inter-ckpt: a single file applies to every iteration; a directory is
+    # a sorted list consumed one file per iteration (reference test.py:69-74)
+    inter_ckpt_paths = None
+    if args.inter_ckpt:
+        if os.path.isfile(args.inter_ckpt):
+            print(" [!] A single inter ckpt is loaded for all samples!")
+            inter_ckpt_paths = [args.inter_ckpt] * n_batches
+        else:
+            inter_ckpt_paths = sorted(
+                glob.glob(os.path.join(args.inter_ckpt, "*.npz")))
+            assert inter_ckpt_paths, \
+                f"no .npz TestingVars found under {args.inter_ckpt}"
+            n_batches = min(n_batches, len(inter_ckpt_paths))
 
+    from spgan_tpu.infer.managers import save_image_batch
+    from spgan_tpu.infer.testing_vars import TestingVars
+
+    for i in range(n_batches):
+        if cfg.task.seeds:
+            # per-sample seeds: sample i is reproducible from PRNGKey(i)
+            k = jax.random.PRNGKey(i)
+        else:
+            key, k = jax.random.split(key)
+        if inter_ckpt_paths is not None:
+            tv = TestingVars.load(inter_ckpt_paths[i])
+            out = manager.generate_with_vars(tv)
+            cropped = np.asarray(manager.engine.crop_to_target(out))
+            save_image_batch(cropped, save_root, manager.cur_global_id)
+            manager.cur_global_id += cropped.shape[0]
+        elif inv_records is not None:
             tv = manager.create_vars(k)
             tv.replace_by_records(manager.engine.plan, inv_records,
                                   placements)
             out = manager.generate_with_vars(tv)
             cropped = np.asarray(manager.engine.crop_to_target(out))
-            os.makedirs(save_root, exist_ok=True)
             save_image_batch(cropped, save_root, manager.cur_global_id)
             manager.cur_global_id += cropped.shape[0]
-        elif args.inter_ckpt:
+        elif args.dump_vars:
             tv = manager.create_vars(k)
             out = manager.generate_with_vars(tv)
             os.makedirs(save_root, exist_ok=True)
             tv.save(os.path.join(save_root,
                                  f"{manager.cur_global_id:06d}_vars.npz"))
-            from spgan_tpu.infer.managers import save_image_batch
-
             cropped = np.asarray(manager.engine.crop_to_target(out))
             save_image_batch(cropped, save_root, manager.cur_global_id)
             manager.cur_global_id += cropped.shape[0]
         else:
             manager.run_next(k, save=not args.speed_benchmark,
                              write_gpu_time=args.speed_benchmark)
+        if args.save_all_space and not args.speed_benchmark:
+            manager.save_full_imgs()
         if args.debug:
             break
 

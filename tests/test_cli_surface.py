@@ -1,0 +1,104 @@
+"""End-to-end CLI surface tests for test.py (reference test.py flag parity):
+--dump-vars / --inter-ckpt (load & regenerate, file or directory),
+--save_all_space, --random-init, --exp-suffix.
+"""
+import os
+import runpy
+import sys
+
+import numpy as np
+import pytest
+
+MODEL_YAML = """
+train_params:
+  global_latent_dim: 32
+  local_latent_dim: 16
+  channel_multiplier: 1
+  n_mlp: 2
+  ss_n_layers: 2
+"""
+
+TEST_YAML = """
+task_manager: "spgan_tpu.infer.close_loop.CloseLoopPanoramaManager"
+seed: 17
+height: 128
+width: 672
+batch_size: 1
+num_gen: 1
+"""
+
+
+@pytest.fixture(scope="module")
+def cli_env(tmp_path_factory):
+    root = tmp_path_factory.mktemp("cli")
+    model = root / "tiny_model.yaml"
+    model.write_text(MODEL_YAML)
+    test = root / "tiny_test.yaml"
+    test.write_text(TEST_YAML)
+    return {"root": root, "model": str(model), "test": str(test)}
+
+
+def _run_cli(argv):
+    old = sys.argv
+    sys.argv = ["test.py"] + argv
+    try:
+        runpy.run_path(os.path.join(os.path.dirname(__file__), "..",
+                                    "test.py"), run_name="__main__")
+    finally:
+        sys.argv = old
+
+
+def _load_png(path):
+    from PIL import Image
+
+    return np.asarray(Image.open(path))
+
+
+def test_dump_vars_and_inter_ckpt_roundtrip(cli_env):
+    root = cli_env["root"]
+    out_a = str(root / "out_a")
+    # shrink the TS for CPU speed the same way the unit tests do: the CLI
+    # builds from config, so we rely on the tiny dims in the YAML instead.
+    _run_cli(["--model-config", cli_env["model"],
+              "--test-config", cli_env["test"],
+              "--random-init", "--dump-vars", "--save_all_space",
+              "--save-root", out_a])
+    imgs = sorted(f for f in os.listdir(out_a) if f.endswith(".png"))
+    assert "000000.png" in imgs
+    assert "000000full.png" in imgs, "--save_all_space must save meta image"
+    vars_files = [f for f in os.listdir(out_a) if f.endswith("_vars.npz")]
+    assert vars_files == ["000000_vars.npz"]
+    # the uncropped meta image is strictly larger than the target crop
+    full = _load_png(os.path.join(out_a, "000000full.png"))
+    crop = _load_png(os.path.join(out_a, "000000.png"))
+    assert crop.shape == (128, 672, 3)
+    assert full.shape[0] > crop.shape[0]
+
+    # --inter-ckpt with a DIRECTORY of saved vars: regeneration must be
+    # bit-identical to the original render (same fields -> same panorama)
+    out_b = str(root / "out_b")
+    _run_cli(["--model-config", cli_env["model"],
+              "--test-config", cli_env["test"],
+              "--random-init", "--inter-ckpt", out_a,
+              "--save-root", out_b])
+    regen = _load_png(os.path.join(out_b, "000000.png"))
+    np.testing.assert_array_equal(regen, crop)
+
+    # --inter-ckpt with a single FILE: applies to all iterations
+    out_c = str(root / "out_c")
+    _run_cli(["--model-config", cli_env["model"],
+              "--test-config", cli_env["test"],
+              "--random-init",
+              "--inter-ckpt", os.path.join(out_a, "000000_vars.npz"),
+              "--save-root", out_c])
+    regen2 = _load_png(os.path.join(out_c, "000000.png"))
+    np.testing.assert_array_equal(regen2, crop)
+
+
+def test_exp_suffix_names_save_dir(cli_env, monkeypatch, tmp_path):
+    monkeypatch.chdir(tmp_path)
+    _run_cli(["--model-config", cli_env["model"],
+              "--test-config", cli_env["test"],
+              "--random-init", "--exp-suffix", "mysuffix"])
+    assert os.path.isdir(
+        os.path.join("logs", "tiny_model", "test", "tiny_test_mysuffix"))
