@@ -22,7 +22,9 @@ Name map (g_ema.*):
 
 The transfer-learning SS index remap of the reference (utils.py:311-394,
 old baselines stored the planar stack at indices (0,1,2,3) before the sphere
-blocks were interleaved) is available via remap_ss_indices=True.
+blocks were interleaved) applies to InfinityGAN *baseline* checkpoints only
+and lives in compat/baseline.py (import_torch_baseline_generator); SP-GAN
+checkpoints use the interleaved layout handled here directly.
 """
 from __future__ import annotations
 
@@ -56,8 +58,7 @@ def _linear(sd, prefix) -> Dict[str, np.ndarray]:
     return out
 
 
-def import_torch_generator(state_dict: Dict, g,
-                           remap_ss_indices: bool = False) -> dict:
+def import_torch_generator(state_dict: Dict, g) -> dict:
     """state_dict: the torch g_ema state dict; g: Generator spec.
     Returns a params pytree matching g.init()'s structure."""
     sd = {k.replace("module.", "", 1) if k.startswith("module.") else k: v
@@ -110,11 +111,7 @@ def import_torch_generator(state_dict: Dict, g,
     if g.ss is not None:
         blocks = []
         for i in range(g.ss.n_layers):
-            if remap_ss_indices:
-                # old layout: planar at i, sphere interleaved later
-                sphere_idx, planar_idx = 2 * i, 2 * i + 1
-            else:
-                sphere_idx, planar_idx = 2 * i, 2 * i + 1
+            sphere_idx, planar_idx = 2 * i, 2 * i + 1
             sp = f"structure_synthesizer.implicit_model.conv_stack.{sphere_idx}"
             pp = f"structure_synthesizer.implicit_model.conv_stack.{planar_idx}"
             blocks.append({
@@ -134,7 +131,17 @@ def import_torch_generator(state_dict: Dict, g,
                     "act_bias": _t(sd[f"{pp}.conv.activate.bias"]),
                 },
             })
+            if f"{pp}.conv.noise.weight" in sd:  # ss_disable_noise=False
+                blocks[-1]["planar"]["noise"] = {
+                    "weight": _t(sd[f"{pp}.conv.noise.weight"]).reshape(())}
         params["ss"] = {"blocks": blocks}
+        if g.ss.use_mapping:
+            # ss_mapping global-mapping MLP (reference spgan.py:184-197;
+            # Sequential idx 0 is a parameterless PixelNorm)
+            params["ss"]["mapping"] = [
+                _linear(sd, "structure_synthesizer.implicit_model."
+                            f"global_mapping.{i + 1}")
+                for i in range(g.ss.mapping_n_mlp)]
 
     import jax.numpy as jnp
 
@@ -233,4 +240,10 @@ def export_torch_style_state_dict(params: dict, g) -> Dict[str, np.ndarray]:
             put_modconv(pp + ".conv.conv", blk["planar"]["conv"])
             sd[pp + ".conv.activate.bias"] = np.asarray(
                 blk["planar"]["act_bias"])
+            if "noise" in blk["planar"]:
+                sd[pp + ".conv.noise.weight"] = np.asarray(
+                    blk["planar"]["noise"]["weight"]).reshape(1)
+        for i, p in enumerate(params["ss"].get("mapping", [])):
+            put_linear("structure_synthesizer.implicit_model."
+                       f"global_mapping.{i + 1}", p)
     return sd

@@ -119,7 +119,14 @@ def make_data_source(cfg: Config):
         return _folder_source(dp.folder)
     if dp.source == "npy":
         return _npy_source(dp.folder)
-    raise ValueError(f"unknown data source {dp.source}")
+    if dp.source == "spr":
+        from spgan_tpu.data.native_loader import read_records
+
+        arr = read_records(dp.folder)
+        return arr.shape[0], lambda idx: np.asarray(arr[idx % arr.shape[0]])
+    raise ValueError(
+        f"unknown data source {dp.source!r}; supported: synthetic | folder "
+        "| npy | spr (convert a reference LMDB via tools/convert_lmdb.py)")
 
 
 class NativeTrainPipeline:
@@ -178,6 +185,12 @@ class TrainPipeline:
     def _sample_one(self, rng):
         idx = rng.randint(0, self.n)
         img = self.load(idx)
+        # reference transform order (dataset.py:458-497): MaybeResize to
+        # extra_pre_resize (square-crop + Lanczos) FIRST, then MaybeResize to
+        # full_size — two resampling stages, not one
+        pre = self.cfg.train_params.extra_pre_resize
+        if pre is not None:
+            img = center_square_resize(img, pre)
         img = center_square_resize(img, self.cfg.train_params.full_size)
         if rng.rand() < 0.5:
             img = img[:, ::-1]

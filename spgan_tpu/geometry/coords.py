@@ -111,6 +111,10 @@ class CoordGrid:
     vert_cut_pt: float = 3.0
     num_dir: int = 3
     partial: float = 0.6667
+    # coord_continuous (reference coord_handler.py:511-547): True -> training
+    # crops get the shared half-cell sub-pixel jitter; False -> discrete
+    # coords, zero perturbation ("[!] Discrete coords should be depricated!")
+    continuous: bool = True
 
     @property
     def ss_spatial_size(self) -> int:
@@ -183,10 +187,12 @@ class CoordGrid:
 
         coords = jax.vmap(pick)(x_st, y_st)  # (B,35,35,C)
 
-        # ONE shared jitter per batch per channel (coord_handler.py:923-931)
-        pr = jnp.asarray(self.perturb_ranges())
-        jitter = (jax.random.uniform(kp, (pr.shape[0],)) * 2.0 - 1.0) * pr
-        coords = coords + jitter[None, None, None, :]
+        # ONE shared jitter per batch per channel (coord_handler.py:923-931);
+        # disabled entirely with coord_continuous=False (:546-547)
+        if self.continuous:
+            pr = jnp.asarray(self.perturb_ranges())
+            jitter = (jax.random.uniform(kp, (pr.shape[0],)) * 2.0 - 1.0) * pr
+            coords = coords + jitter[None, None, None, :]
 
         ac = self._ac_coords(x_st, y_st)
         cp = self._coords_partial(x_st, y_st, size, size)
@@ -235,9 +241,10 @@ class CoordGrid:
 
         coords = jax.vmap(grid_for)(x_st.astype(jnp.float32),
                                     y_st.astype(jnp.float32))
-        pr = jnp.asarray(self.perturb_ranges())
-        jitter = (jax.random.uniform(kp, (pr.shape[0],)) * 2.0 - 1.0) * pr
-        coords = coords + jitter[None, None, None, :]
+        if self.continuous:
+            pr = jnp.asarray(self.perturb_ranges())
+            jitter = (jax.random.uniform(kp, (pr.shape[0],)) * 2.0 - 1.0) * pr
+            coords = coords + jitter[None, None, None, :]
         ac = self._ac_coords(x_st, y_st)
         cp = CoordsPartial(
             p_x_st=x_st / self.size_x,

@@ -70,8 +70,12 @@ def train(cfg: Config, debug: bool = False, seed: int = 0,
         except Exception:
             pass
 
-    g = Generator.from_config(cfg)
-    d = Discriminator.from_config(cfg)
+    # architecture classes chosen by dotted-path config strings, like the
+    # reference's import_func(g_arch) (train.py:797-799, utils.py:293-297)
+    from spgan_tpu.utils.misc import import_func
+
+    g = import_func(tp.g_arch).from_config(cfg)
+    d = import_func(tp.d_arch).from_config(cfg)
 
     mesh = make_mesh()
     base_key = jax.random.PRNGKey(seed)
@@ -112,7 +116,8 @@ def train(cfg: Config, debug: bool = False, seed: int = 0,
     if k_steps > 1:
         from spgan_tpu.train.step import make_train_step_many
 
-        step_fn_many = make_train_step_many(cfg, g, d)
+        step_fn_many = make_train_step_many(cfg, g, d,
+                                            freeze_g_mask=freeze_g_mask)
     step_fn = make_train_step(cfg, g, d, freeze_g_mask=freeze_g_mask)
 
     from spgan_tpu.data.pipeline import make_train_pipeline

@@ -76,10 +76,12 @@ def _build_step(cfg: Config, g: Generator, d: Discriminator,
         gl = sampler.sample_global(kgl, bsz)
         ll = sampler.sample_local(kll, bsz)
         coords, ac, cp = g.ss.coord_grid.sample_training(kc, bsz)
-        if g.use_div_z:
+        if g.use_div_z and tp.diversity_dual:
             # dual latents: global latent and coords are paired; local latent,
             # ac labels and coords_partial are NOT (faithful to reference
-            # spgan.py:1331-1336 + :330-336)
+            # spgan.py:1331-1336 + :330-336).  diversity_dual=False is the
+            # reference's disable_dual_latents escape hatch (spgan.py:1332)
+            # made an explicit config flag.
             gl = pair_inputs(gl)
             coords = pair_inputs(coords)
         inject = jax.random.randint(kidx, (), 1, n_latent)
@@ -271,14 +273,19 @@ def make_train_step(cfg: Config, g: Generator, d: Discriminator,
         _build_step(cfg, g, d, freeze_g_mask=freeze_g_mask))
 
 
-def make_train_step_many(cfg: Config, g: Generator, d: Discriminator):
+def make_train_step_many(cfg: Config, g: Generator, d: Discriminator,
+                         freeze_g_mask=None):
     """K training steps per device call (one staged host->device transfer,
     one executable launch).  This amortizes per-dispatch latency — essential
     on remote-attached accelerators and a standard input-pipeline pattern on
     TPU pods.  Flags are static tuples (one bool per inner step), so only a
     handful of variants compile across the d_reg/g_reg cycle.
+
+    freeze_g_mask is threaded through identically to make_train_step so
+    baseline-transfer freezing behaves the same at any steps_per_call
+    (reference train.py:959-978 freeze semantics).
     """
-    base = _build_step(cfg, g, d)
+    base = _build_step(cfg, g, d, freeze_g_mask=freeze_g_mask)
 
     def step_many(state: TrainState, real_patches: jnp.ndarray,
                   real_acs: jnp.ndarray, key: jax.Array,

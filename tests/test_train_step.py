@@ -253,3 +253,50 @@ def test_freeze_mask_and_lr_schedule_and_sgd():
         # ulps of the PARAM value (~5e-7) dominate, not ulps of the delta
         np.testing.assert_allclose(np.asarray(a - c), np.asarray(b - c) / 2.0,
                                    atol=1e-6)
+
+
+def test_step_many_respects_freeze_mask():
+    """steps_per_call>1 with an active freeze mask must keep the frozen
+    generator leaves bit-identical (ADVICE r1: make_train_step_many used to
+    drop the mask, silently updating frozen baseline-transfer params)."""
+    from spgan_tpu.train.step import make_train_step_many
+
+    cfg = tiny_config()
+    tp = cfg.train_params
+    tp.batch_size = 8
+    tp.n_mlp = 1
+    tp.ss_n_layers = 1
+    g = Generator.from_config(cfg)
+    object.__setattr__(g.ts, "channel_base", 16)
+    d = Discriminator(patch_size=101, channel_multiplier=1,
+                      batch_size=tp.batch_size,
+                      use_coord_ac=True, coord_num_dir=3, linear_ch=16)
+    small = {k: 16 for k in (4, 8, 16, 32, 64, 128, 256, 512, 1024, 2048)}
+    object.__setattr__(d, "channels", lambda: small)
+
+    mesh = make_mesh()
+    state0 = replicate(create_train_state(cfg, g, d, jax.random.PRNGKey(0)),
+                       mesh)
+    freeze_g = jax.tree_util.tree_map(lambda _: False, state0.params_g)
+    freeze_g["ss"] = jax.tree_util.tree_map(lambda _: True, freeze_g["ss"])
+
+    rng = np.random.RandomState(4)
+    patches = shard_batch(
+        jnp.asarray(rng.randn(2, 8, 101, 101, 3).astype(np.float32)),
+        mesh, dim=1)
+    acs = shard_batch(
+        jnp.asarray(rng.uniform(-1, 1, (2, 8, 3)).astype(np.float32)),
+        mesh, dim=1)
+
+    step_many = make_train_step_many(cfg, g, d, freeze_g_mask=freeze_g)
+    s, _ = step_many(state0, patches, acs, jax.random.PRNGKey(9),
+                     do_r1=(True, False), do_ppl=(False, False))
+
+    def delta(a, b):
+        return max(float(jnp.abs(x - y).max())
+                   for x, y in zip(jax.tree_util.tree_leaves(a),
+                                   jax.tree_util.tree_leaves(b)))
+
+    assert delta(s.params_g["ss"], state0.params_g["ss"]) == 0.0
+    assert delta(s.params_g["ts"], state0.params_g["ts"]) > 0
+    assert int(s.step) == 2

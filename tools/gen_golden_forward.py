@@ -101,7 +101,8 @@ cu.upfirdn2d = upfirdn2d
 sys.modules["models.custom_ops"] = cu
 
 
-def make_config():
+def make_config(full_size=False, ss_mapping=False):
+    global_dim, local_dim, n_mlp = (512, 256, 8) if full_size else (32, 16, 2)
     return EasyDict(
         train_params=EasyDict(
             styleGAN2_baseline=False,
@@ -113,10 +114,12 @@ def make_config():
             g_path_start=0,
             g_arch="models.spgan.spgan.InfinityGanGenerator",
             d_arch="models.stylegan2discriminator.StyleGan2Discriminator",
-            global_latent_dim=32, local_latent_dim=16, n_mlp=2,
+            global_latent_dim=global_dim, local_latent_dim=local_dim,
+            n_mlp=n_mlp,
             channel_multiplier=2,
             use_ss=True, ss_n_layers=4, ss_unfold_radius=3,
             ss_coord_all_layers="each_layer", ss_disable_noise=True,
+            ss_mapping=ss_mapping,
             ts_input_size=11, ts_no_zero_pad=True,
             diversity_z_w=1, diversity_angular=True, diversity_dual=True,
             coord_continuous=True, coord_vert_sample_size=10,
@@ -130,13 +133,27 @@ def make_config():
 
 
 def main():
+    import argparse
     import random
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("out", nargs="?", default="/tmp/spgan_reference_forward.npz")
+    ap.add_argument("--full", action="store_true",
+                    help="shipped dims (512/256/n_mlp 8) instead of the "
+                         "reduced test dims (32/16/2)")
+    ap.add_argument("--ss-mapping", action="store_true",
+                    help="enable the ss_mapping global-mapping MLP "
+                         "(reference spgan.py:184-197)")
+    args_cli = ap.parse_args()
 
     random.seed(0)
     np.random.seed(0)
     torch.manual_seed(0)
 
-    config = make_config()
+    config = make_config(full_size=args_cli.full,
+                         ss_mapping=args_cli.ss_mapping)
+    GLOBAL_DIM = config.train_params.global_latent_dim
+    LOCAL_DIM = config.train_params.local_latent_dim
     from models.spgan import spgan as spgan_mod
 
     g = spgan_mod.InfinityGanGenerator(config)
@@ -151,9 +168,9 @@ def main():
     # which coincide with the reference exactly at batch 1.
     B = 1
     torch.manual_seed(1)
-    global_latent = torch.randn(B, 2, 32)
+    global_latent = torch.randn(B, 2, GLOBAL_DIM)
     global_latent[:, 1] = global_latent[:, 0]
-    local_latent = torch.randn(B, 16, 35, 35)
+    local_latent = torch.randn(B, LOCAL_DIM, 35, 35)
     noises = [torch.randn(B, 1, s, s) for s in
               (19, 17, 31, 29, 55, 53, 103, 101)]
 
@@ -175,11 +192,14 @@ def main():
     with torch.no_grad():
         im = g.structure_synthesizer.implicit_model
         h = local_latent
+        cond = global_latent[:, 0]
+        if im.global_mapping is not None:  # ss_mapping (spgan.py:231-232)
+            cond = im.global_mapping(cond)
         cs = coords.clone()
         cur_cp = coords_partial
         for i, conv in enumerate(im.conv_stack):
             cs_c, _ = im._select_center(src=cs, coords_partial=cur_cp, ref=h)
-            h, _ = conv(h, global_latent[:, 0], cs_c.clone(), cur_cp)
+            h, _ = conv(h, cond, cs_c.clone(), cur_cp)
             inter[f"ss_block_{i}"] = h.numpy().copy()
         # the layer-0 sphere grid actually used
         sconv = im.conv_stack[0].conv.conv
@@ -217,6 +237,10 @@ def main():
         "cp": np.array([3 / 45, (3 + 36) / 45, 17 / 140, (17 + 36) / 140,
                         0.0, 45, 140, 1.0, 0.6667]),
         "noise_sizes": np.array([19, 17, 31, 29, 55, 53, 103, 101]),
+        # [global_dim, local_dim, n_mlp, ss_mapping] for the loader test
+        "meta": np.array([GLOBAL_DIM, LOCAL_DIM,
+                          config.train_params.n_mlp,
+                          int(config.train_params.ss_mapping)]),
     }
     for i, n in enumerate(noises):
         payload[f"noise_{i}"] = n.numpy()
@@ -226,10 +250,7 @@ def main():
         payload["sd__" + k] = v
     for k, v in dnet.state_dict().items():
         payload["dsd__" + k] = v.numpy()
-    out_path = (sys.argv[1] if len(sys.argv) > 1 else
-                "/tmp/spgan_reference_forward.npz")
-    np.savez_compressed(out_path,
-                        **payload)
+    np.savez_compressed(args_cli.out, **payload)
     total = sum(v.size for v in sd.values())
     print(f"saved fixture: gen {out['gen'].shape}, {len(sd)} tensors, "
           f"{total/1e6:.1f}M params")
