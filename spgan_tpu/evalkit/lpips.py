@@ -82,6 +82,20 @@ class LPIPS:
         return total
 
 
+def load_lpips_lin_weights(lin_path: str) -> List[dict]:
+    """Load the learned lpips linear heads (lin{i}.model.1.weight, each
+    (1,C,1,1)) — e.g. the weights the reference vendors at
+    libs/lpips/weights/v0.1/alex.pth."""
+    import torch
+
+    lsd = torch.load(lin_path, map_location="cpu", weights_only=False)
+    lins = []
+    for i in range(5):
+        w = lsd[f"lin{i}.model.1.weight"].numpy()  # (1,C,1,1)
+        lins.append({"w": jnp.asarray(w[:, :, 0, 0].T)})
+    return lins
+
+
 def load_torch_lpips(alex_features_path: str, lin_path: str) -> dict:
     """Convert torch weights: alexnet .pth (features.* convs) + lpips v0.1
     linear heads (lin{i}.model.1.weight)."""
@@ -97,9 +111,4 @@ def load_torch_lpips(alex_features_path: str, lin_path: str) -> dict:
         w = asd[f"features.{i}.weight"].numpy().transpose(2, 3, 1, 0)
         b = asd[f"features.{i}.bias"].numpy()
         convs.append({"w": jnp.asarray(w), "b": jnp.asarray(b)})
-    lsd = torch.load(lin_path, map_location="cpu", weights_only=False)
-    lins = []
-    for i in range(5):
-        w = lsd[f"lin{i}.model.1.weight"].numpy()  # (1,C,1,1)
-        lins.append({"w": jnp.asarray(w[:, :, 0, 0].T)})
-    return {"convs": convs, "lins": lins}
+    return {"convs": convs, "lins": load_lpips_lin_weights(lin_path)}
