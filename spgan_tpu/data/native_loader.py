@@ -58,6 +58,21 @@ def get_lib():
     return lib
 
 
+def read_records(path: str) -> np.ndarray:
+    """mmap an SPR1 file -> (N,H,W,3) uint8 view (header: magic u32, n u64,
+    h u32, w u32, c u32, then raw pixels)."""
+    with open(path, "rb") as f:
+        head = f.read(24)
+    magic = np.frombuffer(head, np.uint32, count=1)[0]
+    assert magic == 0x31525053, f"not an SPR1 file: {path}"
+    n = int(np.frombuffer(head, np.uint64, count=1, offset=4)[0])
+    h, w, c = (int(v) for v in np.frombuffer(head, np.uint32, count=3,
+                                             offset=12))
+    assert c == 3
+    return np.memmap(path, np.uint8, mode="r", offset=24,
+                     shape=(n, h, w, c))
+
+
 def write_records(path: str, images: np.ndarray) -> None:
     """images: (N,H,W,3) uint8 -> packed SPR1 file."""
     lib = get_lib()
