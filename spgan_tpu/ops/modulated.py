@@ -42,10 +42,17 @@ def _conv(x, w, *, stride=1, padding=0):
 
 
 def _conv_transpose2(x, w):
-    """stride-2 transposed conv, equivalent to torch conv_transpose2d(s=2,p=0).
+    """stride-2 transposed conv, equivalent to torch conv_transpose2d(s=2,p=0)
+    (reference models/ops.py:608-636 upsample branch): zero-stuffing
+    (lhs_dilation=2) + full padding + correlation with the spatially-flipped
+    kernel. Output size 2H+k-2 for odd k.
 
-    Implemented as zero-stuffing (lhs_dilation=2) + full padding + correlation
-    with the spatially-flipped kernel. Output size: 2H+1 for k=3.
+    Measured on v5e (tools/bench_convt.py, 53^2x512x512 b64 bf16): XLA's
+    conv emitter handles the base dilation at 110 TF/s useful (~78% of the
+    realistic matmul ceiling) — it does NOT compute densely over the stuffed
+    zeros. The explicit phase decomposition below benches 2.3x SLOWER (the
+    ee/eo/oe/oo interleave relayouts dominate); it is kept for backends where
+    base-dilated convs are weak, with exact-parity tests.
     """
     kh, kw = w.shape[0], w.shape[1]
     wf = jnp.flip(w, (0, 1))
@@ -55,6 +62,56 @@ def _conv_transpose2(x, w):
         lhs_dilation=(2, 2),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
     )
+
+
+def _interleave2(a, b, axis):
+    """(..., n, ...) x2 -> (..., 2n, ...) alternating a/b along `axis`."""
+    s = jnp.stack([a, b], axis=axis + 1)
+    shape = list(a.shape)
+    shape[axis] *= 2
+    return s.reshape(shape)
+
+
+def _conv_transpose2_phase(x, w):
+    """Phase-decomposed stride-2 transposed conv — exact alternative to
+    _conv_transpose2 for backends with weak base-dilated convs (measured
+    2.3x SLOWER than lhs_dilation on TPU v5e; see _conv_transpose2).
+
+    Each output-parity class (ee/eo/oe/oo) touches a fixed sub-grid of
+    kernel taps, so the transposed conv is exactly four small dense convs
+    interleaved:
+
+        out[2q+dr, 2r+dc] = sum_ab x[q-oa+a, r-ob+b] * wf[2a+pr, 2b+pc]
+
+    with wf the flipped kernel and (pr,pc) the tap parity selected by the
+    output parity. Equal to the dilated form up to FP reduction order (every
+    dropped tap multiplies an exact zero; bit-identical on TPU, ~1e-6 noise
+    on CPU). All-linear ops, so R1/PPL double-grad flows as before.
+    """
+    k = w.shape[0]
+    assert w.shape[1] == k and k % 2 == 1, w.shape
+    B, H, W, _ = x.shape
+    wf = jnp.flip(w, (0, 1))
+    pe, po = (k - 1) // 2, (k - 3) // 2  # per-dim pads: even / odd phase
+
+    def conv(x_, kern, pad_h, pad_w):
+        return jax.lax.conv_general_dilated(
+            x_, kern, (1, 1), [(pad_h, pad_h), (pad_w, pad_w)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+    ee = conv(x, wf[0::2, 0::2], pe, pe)   # (B, H+pe, W+pe, O)
+    eo = conv(x, wf[0::2, 1::2], pe, po)   # (B, H+pe, W+pe-1, O)
+    oe = conv(x, wf[1::2, 0::2], po, pe)
+    oo = conv(x, wf[1::2, 1::2], po, po)
+    # odd phases are one shorter per dim: pad with one trailing zero, which
+    # lands beyond the 2H+k-2 crop below
+    eo = jnp.pad(eo, ((0, 0), (0, 0), (0, 1), (0, 0)))
+    oe = jnp.pad(oe, ((0, 0), (0, 1), (0, 0), (0, 0)))
+    oo = jnp.pad(oo, ((0, 0), (0, 1), (0, 1), (0, 0)))
+    even_rows = _interleave2(ee, eo, axis=2)
+    odd_rows = _interleave2(oe, oo, axis=2)
+    out = _interleave2(even_rows, odd_rows, axis=1)
+    return out[:, :2 * H + k - 2, :2 * W + k - 2]
 
 
 @dataclass(frozen=True)

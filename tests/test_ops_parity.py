@@ -245,3 +245,53 @@ def test_spatial_style_fusion_varies(rng):
     # interior of each half matches the corresponding pure style
     np.testing.assert_allclose(out[:, :, :2], left[:, :, :2], atol=1e-5)
     np.testing.assert_allclose(out[:, :, -2:], right[:, :, -2:], atol=1e-5)
+
+
+@pytest.mark.parametrize("k", [3, 5])
+def test_conv_transpose2_phase_decomposition(rng, k):
+    """The phase-decomposed stride-2 transposed conv (_conv_transpose2_phase,
+    the alternative for backends with weak base-dilated convs) equals the
+    production lhs_dilation form to FP-reduction-order noise (every dropped
+    tap multiplies an exact zero; summation order over (tap, channel) may
+    differ per backend), including grads w.r.t. both input and weight
+    (R1/PPL double-grad safety)."""
+    from spgan_tpu.ops.modulated import (
+        _conv_transpose2 as _conv_transpose2_dilated,
+        _conv_transpose2_phase as _conv_transpose2)
+
+    x = jnp.asarray(rng.randn(2, 7, 9, 5).astype(np.float32))
+    w = jnp.asarray(rng.randn(k, k, 5, 4).astype(np.float32))
+
+    y_phase = jax.jit(_conv_transpose2)(x, w)
+    y_ref = jax.jit(_conv_transpose2_dilated)(x, w)
+    assert y_phase.shape == y_ref.shape == (2, 2 * 7 + k - 2, 2 * 9 + k - 2, 4)
+    np.testing.assert_allclose(np.asarray(y_phase), np.asarray(y_ref),
+                               atol=1e-5)
+
+    # torch oracle for absolute semantics (conv_transpose2d s=2 p=0)
+    yt = F.conv_transpose2d(nchw(x), torch.from_numpy(
+        np.asarray(w).transpose(2, 3, 0, 1).copy()), stride=2)
+    np.testing.assert_allclose(np.asarray(y_phase), nhwc(yt), atol=ATOL)
+
+    def loss_phase(x_, w_):
+        return jnp.sum(jnp.sin(_conv_transpose2(x_, w_)))
+
+    def loss_ref(x_, w_):
+        return jnp.sum(jnp.sin(_conv_transpose2_dilated(x_, w_)))
+
+    gx_p, gw_p = jax.grad(loss_phase, argnums=(0, 1))(x, w)
+    gx_r, gw_r = jax.grad(loss_ref, argnums=(0, 1))(x, w)
+    np.testing.assert_allclose(np.asarray(gx_p), np.asarray(gx_r),
+                               atol=1e-4, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(gw_p), np.asarray(gw_r),
+                               atol=1e-4, rtol=1e-4)
+
+    # second-order (R1-style): grad-of-grad-norm through the transposed conv
+    def gnorm(fn):
+        return lambda x_: jnp.sum(jnp.square(jax.grad(
+            lambda a: jnp.sum(jnp.tanh(fn(a, w))))(x_)))
+
+    hx_p = jax.grad(gnorm(_conv_transpose2))(x)
+    hx_r = jax.grad(gnorm(_conv_transpose2_dilated))(x)
+    np.testing.assert_allclose(np.asarray(hx_p), np.asarray(hx_r),
+                               atol=1e-3, rtol=1e-3)
