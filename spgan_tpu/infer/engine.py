@@ -39,9 +39,29 @@ class PanoramaEngine:
     grid_partial: float = 0.6667
     compute_dtype: str = "float32"
     use_pallas: Optional[bool] = None  # default: on for TPU backends
+    dedup_wrap: bool = True  # skip re-rendering the close-loop wrap columns
 
     def __post_init__(self):
-        p = self.plan.num_patches
+        plan = self.plan
+        P = plan.num_patches
+        # Close-loop wrap columns (j >= num_steps_w_min) are bit-identical
+        # re-renders of columns j - num_steps_w_min: their cp normalizes to
+        # the same fractions (stitcher.py:122-133) and their z/noise slices
+        # read the same circular-field windows, so the same program produces
+        # the same bits (pinned by tests/test_stitcher.py wrap identity).
+        # Render each distinct column once; the wrapping scatter writes the
+        # seam region with the identical values the reference's overwrite
+        # order would have produced.
+        if plan.close_loop and self.dedup_wrap and self._wrap_cols_dedupable():
+            nw, nwm = plan.num_steps_w, plan.num_steps_w_min
+            self._render_idx = np.array(
+                [p for p in range(P) if p % nw < nwm], np.int32)
+            self._full_map = np.array(
+                [(p // nw) * nwm + (p % nw) % nwm for p in range(P)], np.int32)
+        else:
+            self._render_idx = np.arange(P, dtype=np.int32)
+            self._full_map = np.arange(P, dtype=np.int32)
+        p = len(self._render_idx)
         if p % self.patch_chunk != 0:
             # fall back to a divisor
             for c in range(self.patch_chunk, 0, -1):
@@ -57,6 +77,21 @@ class PanoramaEngine:
             functools.partial(self._generate_impl, return_patches=False))
         self._generate_patches = jax.jit(
             functools.partial(self._generate_impl, return_patches=True))
+
+    def _wrap_cols_dedupable(self) -> bool:
+        """Wrap column j is a bit-identical re-render of base column
+        j - num_steps_w_min iff its cp scalars are exactly equal (its z/noise
+        slice starts are congruent by construction).  This fails for narrow
+        panoramas where a base column's own window wraps: the reference
+        circular-flag algorithm (close_loop:462-472) then gives the base
+        column circular=True but the wrap column circular=False, i.e. a
+        different sphere grid (see tests/test_stitcher.py:81-86)."""
+        plan = self.plan
+        nw, nwm = plan.num_steps_w, plan.num_steps_w_min
+        cps = plan.cp_scalars.reshape(plan.num_steps_h, nw, 5)
+        return all(
+            np.array_equal(cps[:, j], cps[:, j - nwm])
+            for j in range(nwm, nw))
 
     # ----------------------------------------------------------------
     def sample_fields(self, key: jax.Array):
@@ -82,7 +117,8 @@ class PanoramaEngine:
         g = self.g
         B = self.batch
         chunk = self.patch_chunk
-        P = plan.num_patches
+        ridx = self._render_idx
+        P = len(ridx)
         win = plan.window
         cdt = jnp.bfloat16 if self.compute_dtype == "bfloat16" else jnp.float32
 
@@ -100,10 +136,11 @@ class PanoramaEngine:
         styles = g.build_styles(params, gl, None)  # (B, n_latent, D)
         gz = gl[:, 0]
 
-        z_starts = jnp.asarray(plan.z_starts).reshape(P // chunk, chunk, 2)
-        n_starts = [jnp.asarray(s).reshape(P // chunk, chunk, 2)
+        z_starts = jnp.asarray(plan.z_starts[ridx]).reshape(
+            P // chunk, chunk, 2)
+        n_starts = [jnp.asarray(s[ridx]).reshape(P // chunk, chunk, 2)
                     for s in plan.noise_starts]
-        cp_all = jnp.asarray(plan.cp_scalars.astype(np.float32)).reshape(
+        cp_all = jnp.asarray(plan.cp_scalars[ridx].astype(np.float32)).reshape(
             P // chunk, chunk, 5)
 
         out_sizes = plan.geom.outfeat_sizes
@@ -179,13 +216,21 @@ class PanoramaEngine:
         patches = patches.reshape(P, B, patch_sz, patch_sz, 3)
         patches = patches.astype(jnp.float32)
         if return_patches:
-            return patches
+            # expand back to the full lattice (wrap columns point at their
+            # bit-identical base-column renders)
+            return patches[jnp.asarray(self._full_map)]
 
         # --- scatter (static, reference overwrite order) -------------
+        # Every lattice position is written in the reference's row-major
+        # overwrite order — wrap columns write their base column's render
+        # (bit-identical by cp equality).  Adjacent-column overlaps agree
+        # only to ~1e-5 (different absolute grid coordinates round
+        # differently), so preserving WHICH column wins each overlap is what
+        # keeps the dedup engine bit-identical to the full render.
         meta = jnp.zeros((B, plan.meta_h, plan.meta_w, 3), jnp.float32)
-        for p in range(P):
+        for p in range(plan.num_patches):
             r, c_raw = int(plan.img_starts[p, 0]), int(plan.img_starts[p, 1])
-            patch = patches[p]
+            patch = patches[int(self._full_map[p])]
             c = c_raw % plan.meta_w if plan.close_loop else c_raw
             if c + patch_sz <= plan.meta_w:
                 meta = jax.lax.dynamic_update_slice(meta, patch, (0, r, c, 0))

@@ -139,3 +139,49 @@ def test_infinite_engine_generation():
     assert out.shape == (1, 128, 128, 3)
     # every pixel written (no zeros-left-behind from the scatter)
     assert (np.abs(meta) > 0).mean() > 0.999
+
+
+def test_dedup_wrap_meta_bit_identical(tiny_engine):
+    """Rendering only the base columns (dedup_wrap=True, the default) must
+    produce the exact meta image of the full 9-column render: wrap columns
+    are bit-identical re-renders, and every overwrite in the reference's
+    row-major order writes values identical to what is already there."""
+    g, params, eng0 = tiny_engine
+    # chunk 6 divides both 42 rendered and 63 full positions: identical
+    # folded-batch shapes => bit-identical per-patch math in both engines
+    eng = PanoramaEngine(
+        g=g, plan=eng0.plan, batch=2, patch_chunk=6,
+        grid_partial=eng0.grid_partial)
+    assert eng._wrap_cols_dedupable()
+    assert len(eng._render_idx) == eng.plan.num_steps_h * 7
+    eng_full = PanoramaEngine(
+        g=g, plan=eng.plan, batch=2, patch_chunk=6,
+        grid_partial=eng.grid_partial, dedup_wrap=False)
+    assert len(eng_full._render_idx) == eng.plan.num_patches
+    gl, z_field, noises = eng.sample_fields(jax.random.PRNGKey(11))
+    meta_dedup = np.asarray(eng.generate_from_fields(params, gl, z_field, noises))
+    meta_full = np.asarray(eng_full.generate_from_fields(params, gl, z_field,
+                                                         noises))
+    np.testing.assert_array_equal(meta_dedup, meta_full)
+    # patch protocol surface unchanged: full lattice shape, wrap cols aliased
+    patches = np.asarray(eng._generate_patches(params, gl, z_field, noises))
+    assert patches.shape[0] == eng.plan.num_patches
+
+
+def test_dedup_wrap_disabled_for_wrapping_base_columns():
+    """A pano narrow enough that base column 0's window wraps (z_field_w <
+    window) must fall back to the full render — the wrap column's cp differs
+    (circular flag quirk) so dedup would change the output."""
+    cfg = Config()
+    tp = cfg.train_params
+    tp.global_latent_dim = 32
+    tp.local_latent_dim = 16
+    tp.channel_multiplier = 1
+    tp.n_mlp = 2
+    g = Generator.from_config(cfg)
+    object.__setattr__(g.ts, "channel_base", 48)
+    plan = build_close_loop_plan(g, 128, 192)  # z_field_w = 12 < window 35
+    eng = PanoramaEngine(g=g, plan=plan, batch=1, patch_chunk=4,
+                         grid_partial=tp.partial)
+    assert not eng._wrap_cols_dedupable()
+    assert len(eng._render_idx) == plan.num_patches
