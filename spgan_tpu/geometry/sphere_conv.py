@@ -81,7 +81,8 @@ class SphereStyledConv:
               grid: Optional[jnp.ndarray] = None,
               grid_groups: int = 0,
               tables: Optional[dict] = None,
-              tables_mode: str = "fused") -> jnp.ndarray:
+              tables_mode: str = "fused",
+              tables_groups: int = 0) -> jnp.ndarray:
         """x: (B,H,W,local_dim); coords: (B,H,W,coord_dim) RAW indices;
         style: (B,style_dim). Output: (B,H,W,out_ch) — size preserving
         (stride == kernel over the k-times-resampled map).
@@ -118,12 +119,23 @@ class SphereStyledConv:
             return y * demod[:, None, None, :]
 
         if tables is not None:
-            from spgan_tpu.ops.pallas.sphere_kernel import fused_sphere_conv
+            from spgan_tpu.ops.pallas.sphere_kernel import (
+                fused_sphere_conv, fused_sphere_conv_grouped)
 
             ld = self.local_dim
             w9 = wt.reshape(k * k, spec.in_ch, self.out_ch)
-            y_main = fused_sphere_conv(
-                x * s[:, None, None, :ld], tables, w9[:, :ld])
+            xs_main = x * s[:, None, None, :ld]
+            if tables_groups and (b // tables_groups) % 8 == 0:
+                # tables are per lattice position (G,H,K2), shared by the
+                # B//G consecutive samples folded at that position
+                y_main = fused_sphere_conv_grouped(
+                    xs_main, tables, w9[:, :ld], groups=tables_groups)
+            else:
+                if tables_groups:  # group size not sublane-aligned: expand
+                    rep = b // tables_groups
+                    tables = {k2: jnp.repeat(v, rep, axis=0)
+                              for k2, v in tables.items()}
+                y_main = fused_sphere_conv(xs_main, tables, w9[:, :ld])
             cs = st_grid_sample_3x3(coords.astype(x.dtype), grid, grid_groups)
             enc = encode_coords(cs, self.coord_dim).astype(x.dtype)
             enc = enc * s[:, None, None, ld:]

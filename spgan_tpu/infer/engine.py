@@ -189,11 +189,10 @@ class PanoramaEngine:
                     fn = lambda a, b2, c2, d, e: sphere_offset_tables(
                         a, b2, c2, d, e, self.grid_partial, h=sz, w=sz, k=3,
                         x_total=plan.x_total, y_total=plan.y_total)
-                    t = jax.vmap(fn)(cp.p_x_st, cp.p_x_ed, cp.p_y_st,
-                                     cp.p_y_ed, cp.circular)
-                    # one table per position -> per folded sample
-                    return {k2: jnp.repeat(v, B, axis=0)
-                            for k2, v in t.items()}
+                    # one table per lattice position, shared by the B
+                    # folded panoramas at that position (tables_groups)
+                    return jax.vmap(fn)(cp.p_x_st, cp.p_x_ed, cp.p_y_st,
+                                        cp.p_y_ed, cp.circular)
 
                 tables_list = [tab(s) for s in ss_sizes]
             _, _, i2j = g.ts.plan()
@@ -206,7 +205,8 @@ class PanoramaEngine:
 
             structure = g.ss.apply(params["ss"], gz_t, zw, cw, cp,
                                    grids=ss_grids, grid_groups=chunk,
-                                   tables_list=tables_list)
+                                   tables_list=tables_list,
+                                   tables_groups=chunk)
             img = g.ts.synthesize(params["ts"], structure, styles_t, cp,
                                   noises=layer_noises, skip_grids=skip_grids,
                                   grid_groups=chunk)

@@ -191,6 +191,7 @@ class StructureSynthesizer:
               grid_groups: int = 0,
               tables_list: Optional[Sequence[dict]] = None,
               tables_mode: str = "fused",
+              tables_groups: int = 0,
               rng: Optional[jax.Array] = None) -> jnp.ndarray:
         """global_z: (B, global_dim) RAW z in the shipped config (ss_mapping
         off — the SS styled convs are modulated by unmapped z,
@@ -210,7 +211,8 @@ class StructureSynthesizer:
             tbl = None if tables_list is None else tables_list[i]
             y = sphere.apply(blk["sphere"], h, global_z, c, cp, grid=grid,
                              grid_groups=grid_groups, tables=tbl,
-                             tables_mode=tables_mode)
+                             tables_mode=tables_mode,
+                             tables_groups=tables_groups)
             y = jax.nn.leaky_relu(y, 0.01)  # LeakyReLU_n (gs StyledConv)
             h = y + _plain_conv1x1(blk["sc"], h)
             c = _center_crop(coords, h.shape[1], h.shape[2])

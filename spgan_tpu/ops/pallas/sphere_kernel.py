@@ -66,6 +66,130 @@ def _kernel(y0_ref, y1_ref, wy_ref, sx_ref, fx_ref, x_ref, w_ref, o_ref,
     o_ref[0] = acc_scratch[:].reshape(H, W, Cout).astype(o_ref.dtype)
 
 
+def _kernel_grouped(y0_ref, y1_ref, wy_ref, sx_ref, fx_ref, x_ref, w_ref,
+                    o_ref, row_scratch, s_scratch, acc_scratch,
+                    *, H, Hb, W, M, K2, C, Cout):
+    hb = pl.program_id(1)
+    Bg = row_scratch.shape[1]
+    for t in range(K2):  # static unroll over taps
+        def row_body(r, _):
+            rg = jnp.minimum(hb * Hb + r, H - 1)  # clamp padded tail rows
+            y0 = y0_ref[0, rg, t]
+            y1 = y1_ref[0, rg, t]
+            wy = wy_ref[0, rg, t]
+            sx = sx_ref[0, rg, t]
+            fx = fx_ref[0, rg, t]
+            r0 = x_ref[0, y0]          # (Wp, Bg, C)
+            r1 = x_ref[0, y1]
+            row_scratch[:] = r0 * (1.0 - wy) + r1 * wy
+            a = row_scratch[pl.ds(M + sx, W)]
+            b = row_scratch[pl.ds(M + sx + 1, W)]
+            s_scratch[pl.ds(r * W, W)] = a * (1.0 - fx) + b * fx
+            return 0
+
+        jax.lax.fori_loop(0, Hb, row_body, 0)
+        # (Hb*W, Bg, C) -> (Hb*W*Bg, C): Bg == the f32 sublane tile (8), so
+        # collapsing the untiled leading dims into it is a physical no-op
+        st = s_scratch[:].reshape(Hb * W * Bg, C)
+        contrib = jnp.dot(st, w_ref[t], preferred_element_type=jnp.float32)
+        if t == 0:
+            acc_scratch[:] = contrib
+        else:
+            acc_scratch[:] = acc_scratch[:] + contrib
+    o_ref[0] = acc_scratch[:].reshape(Hb, W, Bg, Cout).astype(o_ref.dtype)
+
+
+def fused_sphere_conv_grouped(x: jnp.ndarray, tables: dict, w9: jnp.ndarray,
+                              groups: int, margin: int = 6,
+                              interpret: Optional[bool] = None) -> jnp.ndarray:
+    """Grouped variant of fused_sphere_conv for the lattice engine, where
+    consecutive samples share one offset table (all panoramas of a batch at
+    the same lattice position).  x: (B,H,W,C) with B = groups * Bg; tables:
+    dict of (groups, H, K2).  Requires Bg % 8 == 0 (the f32 sublane tile —
+    the in-kernel (Hb*W, Bg, C) -> (Hb*W*Bg, C) collapse is layout-exact
+    only then); callers fall back to fused_sphere_conv otherwise.
+
+    Why: the per-sample kernel's cost is dominated by the serial per-row
+    loop (measured 6.45 ms at H=35, B=64 vs ~1.4 ms of math).  Grouping
+    turns each row op into a (Wp, Bg, C) vector op and cuts the trip count
+    by Bg, and the tap matmul becomes one (Hb*W*Bg, C) @ (C, Cout) MXU call.
+    """
+    if interpret is None:
+        import os
+
+        interpret = (os.environ.get("SPGAN_PALLAS_INTERPRET") == "1"
+                     or jax.default_backend() != "tpu")
+    B, H, W, C = x.shape
+    K2, _, Cout = w9.shape
+    G = groups
+    assert B % G == 0, (B, G)
+    Bg = B // G
+    assert Bg % 8 == 0, f"group size {Bg} must be a multiple of 8"
+    if Bg > 8:
+        # normalize to Bg=8 subgroups (the x block alone is H*Wp*Bg*C*2
+        # bytes — 13.5 MB at Bg=16 for the 35^2 layer)
+        sub = Bg // 8
+        tables = {k: jnp.repeat(v, sub, axis=0) for k, v in tables.items()}
+        G, Bg = G * sub, 8
+    M = margin
+
+    # VMEM budget: in/out blocks are double-buffered across grid steps.
+    # When over ~14 MB, split the contraction dim — the kernel is linear in
+    # (x, w) over C, so summing per-half outputs is exact up to one extra
+    # f32 add per element.
+    Hb_est = min(8, H)
+    Wp_est = W + 2 * M
+    vmem = (2 * H * Wp_est * Bg * C * x.dtype.itemsize
+            + 2 * Hb_est * W * Bg * Cout * x.dtype.itemsize
+            + 4 * (Wp_est * Bg * C + Hb_est * W * Bg * C
+                   + Hb_est * W * Bg * Cout)
+            + 2 * K2 * C * Cout * w9.dtype.itemsize)
+    if vmem > 14 * 1024 * 1024 and C % 2 == 0:
+        half = C // 2
+        return (fused_sphere_conv_grouped(
+                    x[..., :half], {k: v for k, v in tables.items()},
+                    w9[:, :half], G, margin, interpret)
+                + fused_sphere_conv_grouped(
+                    x[..., half:], {k: v for k, v in tables.items()},
+                    w9[:, half:], G, margin, interpret))
+    # (B,H,W,C) -> (G, H, Wp, Bg, C): Bg on the sublane dim, W untiled
+    xg = x.reshape(G, Bg, H, W, C).transpose(0, 2, 3, 1, 4)
+    xg = jnp.pad(xg, ((0, 0), (0, 0), (M, M), (0, 0), (0, 0)), mode="edge")
+    Wp = W + 2 * M
+
+    sx = jnp.clip(tables["sx"], -M, M - 1)
+    Hb = min(8, H)
+    n_hb = (H + Hb - 1) // Hb
+    Hpad = n_hb * Hb
+
+    kern = functools.partial(_kernel_grouped, H=H, Hb=Hb, W=W, M=M, K2=K2,
+                             C=C, Cout=Cout)
+    spec_t = pl.BlockSpec((1, H, K2), lambda g, h: (g, 0, 0),
+                          memory_space=pltpu.SMEM)
+    out = pl.pallas_call(
+        kern,
+        grid=(G, n_hb),
+        in_specs=[spec_t, spec_t, spec_t, spec_t, spec_t,
+                  pl.BlockSpec((1, H, Wp, Bg, C), lambda g, h: (g, 0, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((K2, C, Cout), lambda g, h: (0, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, Hb, W, Bg, Cout),
+                               lambda g, h: (g, h, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((G, Hpad, W, Bg, Cout), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((Wp, Bg, C), jnp.float32),
+            pltpu.VMEM((Hb * W, Bg, C), jnp.float32),
+            pltpu.VMEM((Hb * W * Bg, Cout), jnp.float32),
+        ],
+        interpret=interpret,
+    )(tables["y0"], tables["y1"], tables["wy"].astype(jnp.float32),
+      sx, tables["fx"].astype(jnp.float32), xg, w9)
+    out = out[:, :H]  # drop the padded tail rows
+    return out.transpose(0, 3, 1, 2, 4).reshape(B, H, W, Cout)
+
+
 def fused_sphere_conv(x: jnp.ndarray, tables: dict, w9: jnp.ndarray,
                       margin: int = 6,
                       interpret: Optional[bool] = None) -> jnp.ndarray:

@@ -70,3 +70,28 @@ def test_offset_tables_reconstruct_grid(rng):
                 np.testing.assert_allclose(row_py, row_py[0], atol=1e-4)
                 dx = t["sx"][r, tt] + t["fx"][r, tt]
                 np.testing.assert_allclose(row_px[0], dx, atol=1e-4)
+
+
+def test_grouped_kernel_matches_per_sample(rng):
+    """fused_sphere_conv_grouped (lattice-engine fast path: one offset table
+    shared by all panoramas folded at a lattice position) is bit-identical
+    to the per-sample kernel with the table repeated, including the Bg>8
+    subgroup normalization path."""
+    from spgan_tpu.ops.pallas.sphere_kernel import (
+        fused_sphere_conv, fused_sphere_conv_grouped)
+
+    G, Bg, H, W, C, Cout, K2 = 2, 16, 13, 11, 16, 24, 9
+    B = G * Bg
+    x = jnp.asarray(rng.randn(B, H, W, C).astype(np.float32))
+    w9 = jnp.asarray(rng.randn(K2, C, Cout).astype(np.float32))
+    tg = {
+        "y0": jnp.asarray(rng.randint(0, H, (G, H, K2)).astype(np.int32)),
+        "wy": jnp.asarray(rng.rand(G, H, K2).astype(np.float32)),
+        "sx": jnp.asarray(rng.randint(-5, 5, (G, H, K2)).astype(np.int32)),
+        "fx": jnp.asarray(rng.rand(G, H, K2).astype(np.float32)),
+    }
+    tg["y1"] = jnp.minimum(tg["y0"] + 1, H - 1)
+    tp = {k: jnp.repeat(v, Bg, axis=0) for k, v in tg.items()}
+    a = np.asarray(fused_sphere_conv(x, tp, w9))
+    b = np.asarray(fused_sphere_conv_grouped(x, tg, w9, groups=G))
+    np.testing.assert_array_equal(a, b)
