@@ -139,8 +139,13 @@ class SphereStyledConv:
             cs = st_grid_sample_3x3(coords.astype(x.dtype), grid, grid_groups)
             enc = encode_coords(cs, self.coord_dim).astype(x.dtype)
             enc = enc * s[:, None, None, ld:]
-            y_coords = _conv_stride_k(
-                enc, wt[:, :, ld:, :], k)
+            y_coords = _conv_stride_k(enc, wt[:, :, ld:, :], k)
+            # NOTE(perf): factoring the coords branch per lattice position
+            # (conv is linear in the style-scaled encodings; windows are
+            # identical within a position) measured 20.1 panos/s vs 20.4 for
+            # this direct form — the batch-shared gather is already cheap
+            # and the per-channel stack + einsum overhead outweighs the
+            # 16x conv-work reduction on these tiny (3-channel) maps.
             return (y_main.astype(x.dtype) + y_coords) * demod[:, None, None]
 
         both = jnp.concatenate([x, coords.astype(x.dtype)], axis=-1)
@@ -151,7 +156,6 @@ class SphereStyledConv:
 
         y = _conv_stride_k(sampled * s[:, None, None, :], wt, k)
         return y * demod[:, None, None, :]
-
 
 @dataclass(frozen=True)
 class SphereSkipConv:
