@@ -8,9 +8,26 @@ import time
 from typing import Any
 
 
+# The reference's own dotted-path strings (its configs/*.yaml) resolve to
+# the equivalent spgan_tpu classes, so an unmodified reference YAML works.
+REFERENCE_PATH_ALIASES = {
+    "models.spgan.spgan.InfinityGanGenerator":
+        "spgan_tpu.models.generator.Generator",
+    "models.stylegan2discriminator.StyleGan2Discriminator":
+        "spgan_tpu.models.discriminator.Discriminator",
+    "test_managers.close_loop_infinite_generation."
+    "InfiniteGenerationManagerPatchCoordsCloseLoop":
+        "spgan_tpu.infer.close_loop.CloseLoopPanoramaManager",
+    "test_managers.infinite_generation.InfiniteGenerationManager":
+        "spgan_tpu.infer.infinite.InfiniteGenerationManager",
+}
+
+
 def import_func(dotted: str) -> Any:
     """Resolve a dotted-path class/function string
-    (reference utils.py:293-297 — used for g_arch/d_arch/task_manager)."""
+    (reference utils.py:293-297 — used for g_arch/d_arch/task_manager).
+    Reference-repo paths are aliased to their spgan_tpu equivalents."""
+    dotted = REFERENCE_PATH_ALIASES.get(dotted, dotted)
     module, name = dotted.rsplit(".", 1)
     return getattr(importlib.import_module(module), name)
 

@@ -102,3 +102,37 @@ def test_exp_suffix_names_save_dir(cli_env, monkeypatch, tmp_path):
               "--random-init", "--exp-suffix", "mysuffix"])
     assert os.path.isdir(
         os.path.join("logs", "tiny_model", "test", "tiny_test_mysuffix"))
+
+
+def test_reference_dotted_paths_resolve():
+    """An unmodified reference YAML's g_arch/d_arch/task_manager strings
+    (reference configs/model/spgan.yaml:31-32, configs/test/*.yaml:1)
+    resolve to the spgan_tpu equivalents via the alias table."""
+    from spgan_tpu.utils.misc import import_func
+    from spgan_tpu.models.generator import Generator
+    from spgan_tpu.models.discriminator import Discriminator
+    from spgan_tpu.infer.managers import (CloseLoopPanoramaManager,
+                                          InfiniteGenerationManager)
+
+    assert import_func("models.spgan.spgan.InfinityGanGenerator") is Generator
+    assert import_func(
+        "models.stylegan2discriminator.StyleGan2Discriminator"
+    ) is Discriminator
+    assert import_func(
+        "test_managers.close_loop_infinite_generation."
+        "InfiniteGenerationManagerPatchCoordsCloseLoop"
+    ) is CloseLoopPanoramaManager
+    assert import_func(
+        "test_managers.infinite_generation.InfiniteGenerationManager"
+    ) is InfiniteGenerationManager
+
+
+def test_infinitygan_test_config_loads():
+    import yaml
+
+    with open("configs/test/InfinityGAN_384x768.yaml") as f:
+        d = yaml.safe_load(f)
+    from spgan_tpu.utils.misc import import_func
+
+    assert import_func(d["task_manager"]) is not None
+    assert (d["height"], d["width"], d["batch_size"]) == (384, 768, 16)
