@@ -144,14 +144,19 @@ def fused_sphere_conv_grouped(x: jnp.ndarray, tables: dict, w9: jnp.ndarray,
             + 4 * (Wp_est * Bg * C + Hb_est * W * Bg * C
                    + Hb_est * W * Bg * Cout)
             + 2 * K2 * C * Cout * w9.dtype.itemsize)
-    if vmem > 14 * 1024 * 1024 and C % 2 == 0:
+    if vmem > 14 * 1024 * 1024:
+        if C % 2 or C // 2 < 128:
+            # Splitting below 128 channels pads the lane dim back to 128 in
+            # every VMEM buffer (observed on-device: f32 at C=64 still OOMs
+            # at 16.36M), so narrow/f32 cases use the per-sample kernel —
+            # its blocks are Bg times smaller and always fit.
+            rep = {k: jnp.repeat(v, Bg, axis=0) for k, v in tables.items()}
+            return fused_sphere_conv(x, rep, w9, margin, interpret)
         half = C // 2
         return (fused_sphere_conv_grouped(
-                    x[..., :half], {k: v for k, v in tables.items()},
-                    w9[:, :half], G, margin, interpret)
+                    x[..., :half], tables, w9[:, :half], G, margin, interpret)
                 + fused_sphere_conv_grouped(
-                    x[..., half:], {k: v for k, v in tables.items()},
-                    w9[:, half:], G, margin, interpret))
+                    x[..., half:], tables, w9[:, half:], G, margin, interpret))
     # (B,H,W,C) -> (G, H, Wp, Bg, C): Bg on the sublane dim, W untiled
     xg = x.reshape(G, Bg, H, W, C).transpose(0, 2, 3, 1, 4)
     xg = jnp.pad(xg, ((0, 0), (0, 0), (M, M), (0, 0), (0, 0)), mode="edge")
