@@ -1,6 +1,8 @@
 """Benchmark: 384x768 closed-loop panorama generation throughput on the
 available accelerator (the reference's canonical eval task,
-configs/test/spgan_384x768.yaml: batch 16, 60 generator calls per panorama).
+configs/test/spgan_384x768.yaml: batch 16; the reference makes 60 generator
+calls per panorama — this engine renders the 48 distinct patches and reuses
+the bit-identical wrap-column renders, see infer/engine.py dedup_wrap).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 

@@ -150,10 +150,12 @@ class TaskConfig:
     # the engine's patch_chunk (lattice positions folded into device batch)
     parallel_batch_size: Optional[int] = None
     init_index: Optional[int] = None
-    # per-sample seeds: batch i uses seed i (reference test.py:78-82 computes
-    # seeds=range(num_gen) when task.seeds exists; quirk: the reference's loop
-    # assigns the per-iter seed but never re-applies it — we actually fold it
-    # into the generation key so every sample is reproducible by index)
+    # per-BATCH seeds: batch i uses PRNGKey(i) (reference test.py:77-83
+    # computes seeds=range(num_gen) when task.seeds exists; quirk: its loop
+    # assigns the per-iter seed but never uses it — we key the batch RNG by
+    # the batch index, so batch i is reproducible independent of how many
+    # batches ran before; individual samples within a batch are not
+    # independently seeded)
     seeds: bool = False
     # TPU-native: how many lattice positions are folded into one device batch
     patch_chunk: int = 4

@@ -100,7 +100,8 @@ class NativeRecordLoader:
     def __init__(self, path: str, full_size: int, patch_size: int,
                  batch: int, seed: int = 0, include_full: bool = False):
         self.lib = get_lib()
-        assert self.lib is not None, "native loader unavailable (no g++?)"
+        if self.lib is None:
+            raise RuntimeError("native loader unavailable (no g++?)")
         self.handle = self.lib.spr_open(path.encode())
         assert self.handle, f"cannot open record file {path}"
         self.full_size = full_size

@@ -155,10 +155,19 @@ class NativeTrainPipeline:
 
 def make_train_pipeline(cfg: Config, seed: int = 0,
                         include_full: bool = False):
-    """Pick the native loader for .spr sources, python pipeline otherwise."""
+    """Pick the native loader for .spr sources; fall back to the pure-python
+    pipeline (mmap read_records via make_data_source) when the C++ loader
+    can't be built (no g++ on the host)."""
     if (cfg.data_params.source == "spr"
             or (cfg.data_params.folder or "").endswith(".spr")):
-        return NativeTrainPipeline(cfg, seed=seed, include_full=include_full)
+        try:
+            return NativeTrainPipeline(cfg, seed=seed,
+                                       include_full=include_full)
+        except RuntimeError as e:
+            import sys
+
+            print(f"[data] native loader unavailable ({e}); "
+                  "using the pure-python SPR reader", file=sys.stderr)
     return TrainPipeline(cfg, seed=seed, include_full=include_full)
 
 

@@ -125,13 +125,15 @@ class SphereStyledConv:
             ld = self.local_dim
             w9 = wt.reshape(k * k, spec.in_ch, self.out_ch)
             xs_main = x * s[:, None, None, :ld]
-            if tables_groups and (b // tables_groups) % 8 == 0:
+            if (tables_groups and b % tables_groups == 0
+                    and (b // tables_groups) % 8 == 0):
                 # tables are per lattice position (G,H,K2), shared by the
                 # B//G consecutive samples folded at that position
                 y_main = fused_sphere_conv_grouped(
                     xs_main, tables, w9[:, :ld], groups=tables_groups)
             else:
                 if tables_groups:  # group size not sublane-aligned: expand
+                    assert b % tables_groups == 0, (b, tables_groups)
                     rep = b // tables_groups
                     tables = {k2: jnp.repeat(v, rep, axis=0)
                               for k2, v in tables.items()}

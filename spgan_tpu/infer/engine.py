@@ -96,7 +96,14 @@ class PanoramaEngine:
     # ----------------------------------------------------------------
     def sample_fields(self, key: jax.Array):
         """Latent + noise fields for one batch of panoramas (host-callable,
-        also traced inside the jitted program)."""
+        also traced inside the jitted program).
+
+        When ss_disable_noise is False, per-sample SS noise maps are APPENDED
+        to the noises list (after the TS noise fields): the reference's
+        test-time NoiseInjection cache hands every patch the same per-sample
+        map (models/ops.py:740-773 — SS feature sizes never change), so one
+        (B, s, s, 1) map per SS layer reproduces its semantics and rides the
+        TestingVars save/edit flows unchanged."""
         plan = self.plan
         kg, kz, kn = jax.random.split(key, 3)
         gl = jax.random.normal(kg, (self.batch, 2, self.g.ts.global_dim))
@@ -108,6 +115,12 @@ class PanoramaEngine:
             jax.random.normal(jax.random.fold_in(kn, i),
                               (self.batch, h, w, 1))
             for i, (h, w) in enumerate(plan.noise_sizes)]
+        if not self.g.ss.disable_noise:
+            kss = jax.random.fold_in(kn, 10 ** 6)
+            noises += [
+                jax.random.normal(jax.random.fold_in(kss, i),
+                                  (self.batch, s, s, 1))
+                for i, s in enumerate(self.g.ss.noise_sizes(plan.window))]
         return gl, z_field, noises
 
     # ----------------------------------------------------------------
@@ -121,6 +134,12 @@ class PanoramaEngine:
         P = len(ridx)
         win = plan.window
         cdt = jnp.bfloat16 if self.compute_dtype == "bfloat16" else jnp.float32
+
+        # SS noise maps (appended by sample_fields when enabled) are shared
+        # by every lattice position — split them off the TS noise fields
+        n_ts = len(plan.noise_sizes)
+        ss_maps = noises[n_ts:]
+        noises = noises[:n_ts]
 
         # --- static circular padding (reads never wrap afterwards) ---
         if plan.close_loop:
@@ -203,10 +222,17 @@ class PanoramaEngine:
             gz_t = jnp.tile(gz, (chunk, 1)).astype(cdt)
             styles_t = jnp.tile(styles, (chunk, 1, 1)).astype(cdt)
 
+            ss_noises = None
+            if ss_maps:
+                # same map at every position: tile matches the chunk-major
+                # fold order of zw
+                ss_noises = [jnp.tile(m, (chunk, 1, 1, 1)).astype(cdt)
+                             for m in ss_maps]
             structure = g.ss.apply(params["ss"], gz_t, zw, cw, cp,
                                    grids=ss_grids, grid_groups=chunk,
                                    tables_list=tables_list,
-                                   tables_groups=chunk)
+                                   tables_groups=chunk,
+                                   noises=ss_noises)
             img = g.ts.synthesize(params["ts"], structure, styles_t, cp,
                                   noises=layer_noises, skip_grids=skip_grids,
                                   grid_groups=chunk)

@@ -143,8 +143,13 @@ class BaseManager:
         if write_gpu_time:
             meta.block_until_ready()
             self.accum_exec_times.append(time.perf_counter() - t0)
+        # ONE device->host transfer of the uncropped meta; the target crop is
+        # a host-side view of it (crop_to_target is a pure slice)
         self.full_image = np.asarray(meta)
-        out = np.asarray(self.engine.crop_to_target(meta))
+        plan = self.engine.plan
+        ph = (plan.meta_h - plan.target_h) // 2
+        pw = (plan.meta_w - plan.target_w) // 2
+        out = self.full_image[:, ph:ph + plan.target_h, pw:pw + plan.target_w]
         if save and self.save_root is not None:
             save_image_batch(out, self.save_root, self.cur_global_id)
         self.cur_global_id += out.shape[0]
@@ -157,6 +162,8 @@ class BaseManager:
         ids are cur_global_id - batch + i)."""
         assert self.full_image is not None, \
             "run_next/generate_with_vars first"
+        assert self.save_root is not None, \
+            "save_full_imgs needs a save_root (manager built with None)"
         start = self.cur_global_id - self.full_image.shape[0]
         save_image_batch(self.full_image, self.save_root, start,
                          suffix="full")

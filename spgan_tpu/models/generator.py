@@ -176,6 +176,11 @@ class StructureSynthesizer:
             h -= 2 * self.unfold_radius
         return sizes
 
+    def noise_sizes(self, in_size: int) -> List[int]:
+        """Spatial size of each planar conv's OUTPUT (where NoiseInjection
+        applies) — the shapes of explicit SS noise maps."""
+        return [s - 2 * self.unfold_radius for s in self.layer_sizes(in_size)]
+
     def train_tables(self, cp: CoordsPartial, in_size: int) -> List[dict]:
         """Per-sample offset tables for every sphere layer — feed as
         tables_list with tables_mode="sample" (Pallas training sampler)."""
@@ -192,7 +197,9 @@ class StructureSynthesizer:
               tables_list: Optional[Sequence[dict]] = None,
               tables_mode: str = "fused",
               tables_groups: int = 0,
-              rng: Optional[jax.Array] = None) -> jnp.ndarray:
+              rng: Optional[jax.Array] = None,
+              noises: Optional[Sequence[Optional[jnp.ndarray]]] = None
+              ) -> jnp.ndarray:
         """global_z: (B, global_dim) RAW z in the shipped config (ss_mapping
         off — the SS styled convs are modulated by unmapped z,
         spgan.py:1342-1343); with ss_mapping on, it passes through the
@@ -220,8 +227,13 @@ class StructureSynthesizer:
             layer_rng = None
             if rng is not None and not self.disable_noise:
                 layer_rng = jax.random.fold_in(rng, i)
+            # explicit per-layer noise maps (test-time semantics: the
+            # reference's test_ids cache hands every patch the SAME
+            # per-sample noise map since SS sizes never change,
+            # models/ops.py:740-773) take precedence over rng
+            layer_noise = None if noises is None else noises[i]
             h = planar.apply(blk["planar"], jnp.concatenate([h, enc], -1),
-                             global_z, rng=layer_rng)
+                             global_z, noise=layer_noise, rng=layer_rng)
         return h
 
     # --- mode-seeking diversity loss (spgan.py:285-315) ----------------

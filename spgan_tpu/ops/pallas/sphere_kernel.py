@@ -23,6 +23,12 @@ Used in the inference engine (forward only).  Training keeps the XLA path:
 the straight-through gradient trick would lose the true weight gradients
 through a stop_gradient'ed fused op.
 """
+# schedule-probe pad 0
+# schedule-probe pad 1
+# schedule-probe pad 2
+# schedule-probe pad 3
+# schedule-probe pad 4
+# schedule-probe pad 5
 from __future__ import annotations
 
 import functools
@@ -144,19 +150,22 @@ def fused_sphere_conv_grouped(x: jnp.ndarray, tables: dict, w9: jnp.ndarray,
             + 4 * (Wp_est * Bg * C + Hb_est * W * Bg * C
                    + Hb_est * W * Bg * Cout)
             + 2 * K2 * C * Cout * w9.dtype.itemsize)
-    if vmem > 14 * 1024 * 1024:
-        if C % 2 or C // 2 < 128:
-            # Splitting below 128 channels pads the lane dim back to 128 in
-            # every VMEM buffer (observed on-device: f32 at C=64 still OOMs
-            # at 16.36M), so narrow/f32 cases use the per-sample kernel —
-            # its blocks are Bg times smaller and always fit.
-            rep = {k: jnp.repeat(v, Bg, axis=0) for k, v in tables.items()}
-            return fused_sphere_conv(x, rep, w9, margin, interpret)
+    if vmem > 14 * 1024 * 1024 and C % 2 == 0 and C // 2 >= 128:
         half = C // 2
         return (fused_sphere_conv_grouped(
-                    x[..., :half], tables, w9[:, :half], G, margin, interpret)
+                    x[..., :half], {k: v for k, v in tables.items()},
+                    w9[:, :half], G, margin, interpret)
                 + fused_sphere_conv_grouped(
-                    x[..., half:], tables, w9[:, half:], G, margin, interpret))
+                    x[..., half:], {k: v for k, v in tables.items()},
+                    w9[:, half:], G, margin, interpret))
+    if vmem > 14 * 1024 * 1024:
+        # over budget but not cleanly splittable: splitting below 128
+        # channels pads the lane dim back to 128 in every VMEM buffer
+        # (observed on-device: f32 at C=64 still OOMs at 16.36M), so
+        # narrow/f32 cases use the per-sample kernel instead — its blocks
+        # are Bg times smaller and always fit
+        rep = {k: jnp.repeat(v, Bg, axis=0) for k, v in tables.items()}
+        return fused_sphere_conv(x, rep, w9, margin, interpret)
     # (B,H,W,C) -> (G, H, Wp, Bg, C): Bg on the sublane dim, W untiled
     xg = x.reshape(G, Bg, H, W, C).transpose(0, 2, 3, 1, 4)
     xg = jnp.pad(xg, ((0, 0), (0, 0), (M, M), (0, 0), (0, 0)), mode="edge")

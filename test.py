@@ -161,7 +161,12 @@ def main():
 
     for i in range(n_batches):
         if cfg.task.seeds:
-            # per-sample seeds: sample i is reproducible from PRNGKey(i)
+            # per-BATCH seeds: batch i is reproducible from PRNGKey(i)
+            # regardless of how many batches ran before. (The reference's
+            # task.seeds computes seeds=range(num_gen) and assigns
+            # seed=seeds[iter_] per batch iteration without ever using it —
+            # test.py:77-83; this keys the batch RNG instead, which is the
+            # evidently intended behavior.)
             k = jax.random.PRNGKey(i)
         else:
             key, k = jax.random.split(key)

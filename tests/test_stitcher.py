@@ -185,3 +185,52 @@ def test_dedup_wrap_disabled_for_wrapping_base_columns():
                          grid_partial=tp.partial)
     assert not eng._wrap_cols_dedupable()
     assert len(eng._render_idx) == plan.num_patches
+
+
+def test_ss_noise_engine_semantics():
+    """ss_disable_noise=False at inference: per-sample SS noise maps are
+    appended to the engine fields (reference test-time NoiseInjection cache
+    semantics — every patch gets the SAME per-sample map, models/ops.py:
+    740-773), generation is deterministic per key, actually affected by the
+    noise, and the wrap-column bit-identity is preserved."""
+    import jax.numpy as jnp
+
+    cfg = Config()
+    tp = cfg.train_params
+    tp.global_latent_dim = 32
+    tp.local_latent_dim = 16
+    tp.channel_multiplier = 1
+    tp.n_mlp = 2
+    tp.ss_disable_noise = False
+    g = Generator.from_config(cfg)
+    assert not g.ss.disable_noise
+    object.__setattr__(g.ts, "channel_base", 48)
+    params = g.init(jax.random.PRNGKey(0))
+    # noise weights init to 0 — give them bite so the maps matter
+    for blk in params["ss"]["blocks"]:
+        blk["planar"]["noise"]["weight"] = jnp.asarray(1.0)
+    plan = build_close_loop_plan(g, 128, 672)
+    eng = PanoramaEngine(g=g, plan=plan, batch=2, patch_chunk=4,
+                         grid_partial=tp.partial)
+
+    gl, z_field, noises = eng.sample_fields(jax.random.PRNGKey(3))
+    assert len(noises) == len(plan.noise_sizes) + g.ss.n_layers
+    assert noises[-1].shape == (2, g.ss.noise_sizes(plan.window)[-1],
+                                g.ss.noise_sizes(plan.window)[-1], 1)
+
+    m1 = np.asarray(eng.generate_from_fields(params, gl, z_field, noises))
+    m2 = np.asarray(eng.generate_from_fields(params, gl, z_field, noises))
+    np.testing.assert_array_equal(m1, m2)
+
+    # zeroing the SS maps changes the output (noise actually flows)
+    noises_zero = list(noises[:len(plan.noise_sizes)]) + [
+        jnp.zeros_like(n) for n in noises[len(plan.noise_sizes):]]
+    m3 = np.asarray(eng.generate_from_fields(params, gl, z_field,
+                                             noises_zero))
+    assert np.abs(m1 - m3).max() > 1e-6
+
+    # wrap columns still bit-identical (same ss map at every position)
+    patches = np.asarray(eng._generate_patches(params, gl, z_field, noises))
+    patches = patches.reshape(plan.num_steps_h, plan.num_steps_w,
+                              *patches.shape[1:])
+    np.testing.assert_array_equal(patches[:, 7], patches[:, 0])

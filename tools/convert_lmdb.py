@@ -34,8 +34,12 @@ def main():
     ap.add_argument("--height", type=int, default=256)
     ap.add_argument("--width", type=int, default=768)
     ap.add_argument("--key-prefix", default=None,
-                    help="key prefix before '-<index>' (auto-detected by "
-                         "scanning when omitted)")
+                    help="key prefix before '-<index>'; e.g. '256' or "
+                         "'[768, 256]'. When omitted, EVERY matching "
+                         "prefix is packed — a multi-resolution LMDB "
+                         "(prepare_data resize_multiple) would duplicate "
+                         "each image once per stored size, so pass the "
+                         "prefix explicitly for those")
     ap.add_argument("--limit", type=int, default=None)
     args = ap.parse_args()
 
