@@ -168,6 +168,16 @@ def make_train_pipeline(cfg: Config, seed: int = 0,
 
             print(f"[data] native loader unavailable ({e}); "
                   "using the pure-python SPR reader", file=sys.stderr)
+            # Force the SPR source in the fallback: the .spr branch may have
+            # been entered via the folder-suffix check while source is
+            # something else, and TrainPipeline dispatches on source — without
+            # this the fallback would silently read the wrong data.
+            if cfg.data_params.source != "spr":
+                import dataclasses as _dc
+
+                cfg = _dc.replace(
+                    cfg, data_params=_dc.replace(cfg.data_params,
+                                                 source="spr"))
     return TrainPipeline(cfg, seed=seed, include_full=include_full)
 
 

@@ -42,6 +42,17 @@ class PanoramaEngine:
     dedup_wrap: bool = True  # skip re-rendering the close-loop wrap columns
 
     def __post_init__(self):
+        if self.g.ss is None:
+            # The engine's lattice math threads SS coords/cp through every
+            # patch; a planar (styleGAN2_baseline / no-SS) generator has no
+            # coord grid to build the field from. Reject loudly instead of
+            # AttributeError-ing deep inside sample_fields.
+            raise ValueError(
+                "PanoramaEngine requires a generator with use_ss=true; "
+                "got a planar generator (g.ss is None). Planar stitched "
+                "generation is not a shipped reference path either "
+                "(its InfinityGAN managers assume the SS coord handler, "
+                "test_managers/base_test_manager.py:40).")
         plan = self.plan
         P = plan.num_patches
         # Close-loop wrap columns (j >= num_steps_w_min) are bit-identical

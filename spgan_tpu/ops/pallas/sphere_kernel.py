@@ -23,12 +23,6 @@ Used in the inference engine (forward only).  Training keeps the XLA path:
 the straight-through gradient trick would lose the true weight gradients
 through a stop_gradient'ed fused op.
 """
-# schedule-probe pad 0
-# schedule-probe pad 1
-# schedule-probe pad 2
-# schedule-probe pad 3
-# schedule-probe pad 4
-# schedule-probe pad 5
 from __future__ import annotations
 
 import functools
