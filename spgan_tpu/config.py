@@ -159,6 +159,13 @@ class TaskConfig:
     seeds: bool = False
     # TPU-native: how many lattice positions are folded into one device batch
     patch_chunk: int = 4
+    # TPU-native engine selection:
+    #   "folded"  — single-device, whole lattice in one compiled program
+    #   "sharded" — lattice positions shard_map'ed over all devices
+    #               (fields replicated, meta assembled on device)
+    #   "halo"    — width-sharded fields + ppermute halo ring (close-loop
+    #               only; for latent/noise fields larger than one HBM)
+    engine: str = "folded"
 
 
 @dataclass

@@ -181,13 +181,26 @@ class SphereSkipConv:
 
     def apply(self, params: dict, x: jnp.ndarray, cp: CoordsPartial,
               grid: Optional[jnp.ndarray] = None,
-              grid_groups: int = 0) -> jnp.ndarray:
+              grid_groups: int = 0,
+              tables: Optional[dict] = None,
+              tables_groups: int = 0,
+              margin: int = 6) -> jnp.ndarray:
         b, h, w, _ = x.shape
         k = self.kernel_size
-        if grid is None:
-            grid = sphere_patch_grid_batch(cp, h, w, k)
-        sampled = st_grid_sample_3x3(x, grid, grid_groups)
-        y = _conv_stride_k(
-            sampled, params["weight"].astype(x.dtype) * self.scale, k)
+        wt = params["weight"].astype(x.dtype) * self.scale
+        if tables is not None:
+            # row-offset-table path (ops/grid_sample.st_tap_conv): contiguous
+            # row gathers + static shift enumeration instead of the 4 point
+            # gathers over the (3H,3W) map — same straight-through semantics
+            from spgan_tpu.ops.grid_sample import st_tap_conv
+
+            w9 = wt.reshape(k * k, self.in_ch, self.out_ch)
+            y = st_tap_conv(x, tables, w9, margin=margin,
+                            groups=tables_groups)
+        else:
+            if grid is None:
+                grid = sphere_patch_grid_batch(cp, h, w, k)
+            sampled = st_grid_sample_3x3(x, grid, grid_groups)
+            y = _conv_stride_k(sampled, wt, k)
         y = y + params["bias"].astype(x.dtype)
         return jax.nn.leaky_relu(y, 0.01)

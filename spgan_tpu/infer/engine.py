@@ -39,6 +39,9 @@ class PanoramaEngine:
     grid_partial: float = 0.6667
     compute_dtype: str = "float32"
     use_pallas: Optional[bool] = None  # default: on for TPU backends
+    # row-offset-table path for the TS sphere skip convs (st_tap_conv);
+    # default follows use_pallas
+    use_skip_tables: Optional[bool] = None
     dedup_wrap: bool = True  # skip re-rendering the close-loop wrap columns
 
     def __post_init__(self):
@@ -84,6 +87,27 @@ class PanoramaEngine:
         self._coords_field = jnp.asarray(
             self.g.ss.coord_grid.test_field(self.plan.z_field_h,
                                             self.plan.z_field_w))
+        # Exact per-size shift margins for the skip-conv tap path: cp_scalars
+        # are static, so the integer column shifts are known at plan time
+        # (max|sx| grows with the layer size — 8 at 53^2 vs 6 at the SS 35^2).
+        _, _, i2j = self.g.ts.plan()
+        out_sizes = self.plan.geom.outfeat_sizes
+        self._skip_sizes = [out_sizes[src - 2] for src in sorted(i2j)]
+        if self.use_skip_tables is None:
+            self.use_skip_tables = bool(self.use_pallas)
+        if self.use_skip_tables:
+            from spgan_tpu.geometry.sphere_grid import (
+                sphere_offset_tables_batch)
+
+            cp_all = plan.coords_partial(1, 0, plan.num_patches,
+                                         self.grid_partial)
+            self._skip_margins = []
+            for s in self._skip_sizes:
+                t = sphere_offset_tables_batch(cp_all, s, s)
+                mx = int(np.abs(np.asarray(t["sx"])).max())
+                self._skip_margins.append(max(6, mx + 1))
+        else:
+            self._skip_margins = None
         self._generate = jax.jit(
             functools.partial(self._generate_impl, return_patches=False))
         self._generate_patches = jax.jit(
@@ -135,14 +159,16 @@ class PanoramaEngine:
         return gl, z_field, noises
 
     # ----------------------------------------------------------------
-    def _generate_impl(self, params, gl, z_field, noises,
-                       return_patches=False):
+    def _patches_from_starts(self, params, gl, z_field, noises,
+                             z_starts, n_starts, cp_all):
+        """Render the lattice positions described by the start/cp arrays
+        (already chunk-grouped: (N//chunk, chunk, ...)).  Returns
+        (N, B, patch, patch, 3) float32 patches.  This is the shared body of
+        the single-device and shard_map'ed paths."""
         plan = self.plan
         g = self.g
         B = self.batch
         chunk = self.patch_chunk
-        ridx = self._render_idx
-        P = len(ridx)
         win = plan.window
         cdt = jnp.bfloat16 if self.compute_dtype == "bfloat16" else jnp.float32
 
@@ -165,13 +191,6 @@ class PanoramaEngine:
 
         styles = g.build_styles(params, gl, None)  # (B, n_latent, D)
         gz = gl[:, 0]
-
-        z_starts = jnp.asarray(plan.z_starts[ridx]).reshape(
-            P // chunk, chunk, 2)
-        n_starts = [jnp.asarray(s[ridx]).reshape(P // chunk, chunk, 2)
-                    for s in plan.noise_starts]
-        cp_all = jnp.asarray(plan.cp_scalars[ridx].astype(np.float32)).reshape(
-            P // chunk, chunk, 5)
 
         out_sizes = plan.geom.outfeat_sizes
         patch_sz = out_sizes[-1]
@@ -225,10 +244,17 @@ class PanoramaEngine:
                                         cp.p_y_ed, cp.circular)
 
                 tables_list = [tab(s) for s in ss_sizes]
-            _, _, i2j = g.ts.plan()
-            skip_sizes = [out_sizes[src - 2] for src in sorted(i2j)]
-            skip_grids = [sphere_patch_grid_batch(cp, s, s)
-                          for s in skip_sizes]
+            skip_grids = None
+            skip_tables = None
+            if self.use_skip_tables:
+                from spgan_tpu.geometry.sphere_grid import (
+                    sphere_offset_tables_batch)
+
+                skip_tables = [sphere_offset_tables_batch(cp, s, s)
+                               for s in self._skip_sizes]
+            else:
+                skip_grids = [sphere_patch_grid_batch(cp, s, s)
+                              for s in self._skip_sizes]
 
             gz_t = jnp.tile(gz, (chunk, 1)).astype(cdt)
             styles_t = jnp.tile(styles, (chunk, 1, 1)).astype(cdt)
@@ -246,24 +272,52 @@ class PanoramaEngine:
                                    noises=ss_noises)
             img = g.ts.synthesize(params["ts"], structure, styles_t, cp,
                                   noises=layer_noises, skip_grids=skip_grids,
-                                  grid_groups=chunk)
+                                  grid_groups=chunk,
+                                  skip_tables=skip_tables,
+                                  skip_margins=self._skip_margins,
+                                  tables_groups=chunk)
             return img.reshape(chunk, B, patch_sz, patch_sz, 3)
 
         patches = jax.lax.map(gen_chunk, (z_starts, n_starts, cp_all))
-        patches = patches.reshape(P, B, patch_sz, patch_sz, 3)
-        patches = patches.astype(jnp.float32)
+        patches = patches.reshape(-1, B, patch_sz, patch_sz, 3)
+        return patches.astype(jnp.float32)
+
+    def _generate_impl(self, params, gl, z_field, noises,
+                       return_patches=False):
+        plan = self.plan
+        chunk = self.patch_chunk
+        ridx = self._render_idx
+        P = len(ridx)
+
+        z_starts = jnp.asarray(plan.z_starts[ridx]).reshape(
+            P // chunk, chunk, 2)
+        n_starts = [jnp.asarray(s[ridx]).reshape(P // chunk, chunk, 2)
+                    for s in plan.noise_starts]
+        cp_all = jnp.asarray(plan.cp_scalars[ridx].astype(np.float32)).reshape(
+            P // chunk, chunk, 5)
+
+        patches = self._patches_from_starts(params, gl, z_field, noises,
+                                            z_starts, n_starts, cp_all)
         if return_patches:
             # expand back to the full lattice (wrap columns point at their
             # bit-identical base-column renders)
             return patches[jnp.asarray(self._full_map)]
+        return self._scatter_jnp(patches)
 
-        # --- scatter (static, reference overwrite order) -------------
-        # Every lattice position is written in the reference's row-major
-        # overwrite order — wrap columns write their base column's render
-        # (bit-identical by cp equality).  Adjacent-column overlaps agree
-        # only to ~1e-5 (different absolute grid coordinates round
-        # differently), so preserving WHICH column wins each overlap is what
-        # keeps the dedup engine bit-identical to the full render.
+    def _scatter_jnp(self, patches):
+        """Device-side meta assembly (static, reference overwrite order).
+
+        Every lattice position is written in the reference's row-major
+        overwrite order — wrap columns write their base column's render
+        (bit-identical by cp equality).  Adjacent-column overlaps agree
+        only to ~1e-5 (different absolute grid coordinates round
+        differently), so preserving WHICH column wins each overlap is what
+        keeps the dedup engine bit-identical to the full render.
+
+        `patches`: (len(_render_idx), B, patch, patch, 3)."""
+        plan = self.plan
+        patch_sz = plan.geom.outfeat_sizes[-1]
+        B = patches.shape[1]
         meta = jnp.zeros((B, plan.meta_h, plan.meta_w, 3), jnp.float32)
         for p in range(plan.num_patches):
             r, c_raw = int(plan.img_starts[p, 0]), int(plan.img_starts[p, 1])
@@ -281,58 +335,73 @@ class PanoramaEngine:
 
     # ---- SPMD: lattice sharded over a device mesh --------------------
     def make_sharded_generate(self, mesh, axis: str = "data"):
-        """Compile a multi-device generator: the patch lattice is sharded
-        over the mesh (params/fields replicated — each device renders its
-        own subset of lattice positions, the meta image is assembled from
-        the all-gathered patches).  This is the SPMD scale-out path for
-        inference: throughput scales with device count at fixed batch.
+        """Compile a multi-device generator: the rendered patch lattice is
+        sharded over the mesh under `shard_map` — each device renders ONLY its
+        own subset of lattice positions (params/fields replicated, so no halo
+        exchange is needed; see infer/halo.py for the >HBM width-sharded
+        variant) — and the meta image is assembled ON DEVICE in the same
+        compiled program (the scatter's collectives ride the ICI).  This is
+        the SPMD scale-out path for inference: throughput scales with device
+        count at fixed batch.
 
-        Returns fn(params, gl, z_field, noises) -> meta (B, meta_h, meta_w, 3).
+        Returns fn(params, gl, z_field, noises) -> meta (B, meta_h, meta_w, 3)
+        jnp array (replicated).  Matches the single-device engine to float
+        fusion noise (~1e-5; tests/test_engine_pallas.py,
+        __graft_entry__.dryrun_multichip).
         """
         from jax.sharding import NamedSharding, PartitionSpec as P
 
-        ndev = int(mesh.devices.size)
-        n_patches = self.plan.num_patches
-        pad = (-n_patches) % ndev
+        try:
+            from jax import shard_map
+        except ImportError:  # older jax
+            from jax.experimental.shard_map import shard_map
 
-        # Annotating the patches output as sharded over the lattice dim makes
-        # XLA SPMD partition the producing lax.map across the mesh; pad the
-        # lattice dim to a device-count multiple first.
-        def padded(params, gl, z_field, noises):
-            patches = self._generate_impl(params, gl, z_field, noises,
-                                          return_patches=True)
-            if pad:
-                patches = jnp.concatenate(
-                    [patches, jnp.zeros((pad,) + patches.shape[1:],
-                                        patches.dtype)], axis=0)
-            return patches
-
-        gen = jax.jit(padded, out_shardings=NamedSharding(mesh, P(axis)))
-
-        def fn(params, gl, z_field, noises):
-            patches = gen(params, gl, z_field, noises)
-            patches = jax.device_get(patches)[:n_patches]
-            return self._scatter_host(patches)
-
-        return fn
-
-    def _scatter_host(self, patches) -> np.ndarray:
-        """Reference-order overwrite scatter on host (numpy)."""
         plan = self.plan
-        patch_sz = plan.geom.outfeat_sizes[-1]
-        B = patches.shape[1]
-        meta = np.zeros((B, plan.meta_h, plan.meta_w, 3), np.float32)
-        for p in range(plan.num_patches):
-            r, c_raw = int(plan.img_starts[p, 0]), int(plan.img_starts[p, 1])
-            c = c_raw % plan.meta_w if plan.close_loop else c_raw
-            patch = patches[p]
-            if c + patch_sz <= plan.meta_w:
-                meta[:, r:r + patch_sz, c:c + patch_sz] = patch
-            else:
-                split = plan.meta_w - c
-                meta[:, r:r + patch_sz, c:] = patch[:, :, :split]
-                meta[:, r:r + patch_sz, :patch_sz - split] = patch[:, :, split:]
-        return meta
+        ndev = int(mesh.devices.size)
+        chunk = self.patch_chunk
+        ridx = self._render_idx
+        P_r = len(ridx)
+
+        # pad the rendered set so every device gets the same whole number of
+        # chunks (duplicate renders of the last position; dropped after)
+        per_dev = -(-P_r // ndev)
+        per_dev = -(-per_dev // chunk) * chunk
+        tot = per_dev * ndev
+        pad_idx = np.concatenate([ridx, np.repeat(ridx[-1:], tot - P_r)])
+
+        z_starts = jnp.asarray(plan.z_starts[pad_idx]).reshape(
+            tot // chunk, chunk, 2)
+        n_starts = [jnp.asarray(s[pad_idx]).reshape(tot // chunk, chunk, 2)
+                    for s in plan.noise_starts]
+        cp_all = jnp.asarray(
+            plan.cp_scalars[pad_idx].astype(np.float32)).reshape(
+            tot // chunk, chunk, 5)
+
+        def body(zs, ns, cps, params, gl, z_field, noises):
+            # per-device: zs/ns/cps hold this device's chunk rows
+            return self._patches_from_starts(params, gl, z_field,
+                                             list(noises), zs, ns, cps)
+
+        sharded_body = shard_map(
+            body, mesh=mesh,
+            in_specs=(P(axis), [P(axis)] * len(n_starts), P(axis),
+                      P(), P(), P(), [P()] * self._n_noise_fields()),
+            out_specs=P(axis))
+
+        def full(params, gl, z_field, noises):
+            patches = sharded_body(z_starts, n_starts, cp_all,
+                                   params, gl, z_field, noises)
+            # drop the padding renders, assemble on device (replicated out)
+            return self._scatter_jnp(patches[:P_r])
+
+        return jax.jit(
+            full, out_shardings=NamedSharding(mesh, P()))
+
+    def _n_noise_fields(self) -> int:
+        n = len(self.plan.noise_sizes)
+        if not self.g.ss.disable_noise:
+            n += len(self.g.ss.noise_sizes(self.plan.window))
+        return n
 
     # ----------------------------------------------------------------
     def generate(self, params, key: jax.Array) -> jnp.ndarray:

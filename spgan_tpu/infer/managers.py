@@ -55,6 +55,30 @@ class BaseManager:
         if self.config.task.init_index is not None:
             self.cur_global_id = self.config.task.init_index
 
+    def _init_engine_mode(self, close_loop: bool) -> None:
+        """Select the execution engine (task.engine): folded (single-device),
+        sharded (lattice shard_map'ed over all devices), or halo
+        (width-sharded fields + ppermute ring, close-loop only)."""
+        mode = self.config.task.engine
+        self._sharded_fn = None
+        self._halo = False
+        if mode == "folded":
+            return
+        if mode == "sharded":
+            from spgan_tpu.parallel.mesh import make_mesh
+
+            self._sharded_fn = self.engine.make_sharded_generate(make_mesh())
+        elif mode == "halo":
+            if not close_loop:
+                raise ValueError(
+                    "task.engine='halo' needs the close-loop manager "
+                    "(width-sharded cylindrical fields)")
+            self._halo = True
+        else:
+            raise ValueError(
+                f"unknown task.engine {mode!r}; supported: folded | sharded "
+                "| halo")
+
     def _build_engine(self, close_loop: bool) -> PanoramaEngine:
         from spgan_tpu.infer.stitcher import (build_close_loop_plan,
                                               build_infinite_plan)
@@ -139,10 +163,37 @@ class BaseManager:
     def run_next(self, key: jax.Array, save: bool = True,
                  write_gpu_time: bool = False) -> np.ndarray:
         t0 = time.perf_counter() if write_gpu_time else None
-        meta = self.engine.generate(self.params_ema, key)
+        if getattr(self, "_halo", False):
+            from spgan_tpu.infer.halo import generate_width_sharded
+            from spgan_tpu.parallel.mesh import make_mesh
+
+            meta = generate_width_sharded(
+                self.g, self.params_ema, self.engine.plan, make_mesh(), key,
+                self.engine.batch, self.engine.grid_partial,
+                compute_dtype=self.engine.compute_dtype)
+            import jax.numpy as jnp
+
+            meta = jnp.asarray(meta)
+        elif getattr(self, "_sharded_fn", None) is not None:
+            gl, z_field, noises = self.engine.sample_fields(key)
+            meta = self._sharded_fn(self.params_ema, gl, z_field, noises)
+        else:
+            meta = self.engine.generate(self.params_ema, key)
         if write_gpu_time:
             meta.block_until_ready()
-            self.accum_exec_times.append(time.perf_counter() - t0)
+            dt = time.perf_counter() - t0
+            self.accum_exec_times.append(dt)
+            # per-day benchmark files next to the outputs (reference
+            # infinite_generation.py:195-202 / close_loop:292-299)
+            if self.save_root is not None:
+                import datetime
+
+                os.makedirs(self.save_root, exist_ok=True)
+                fmt_date = datetime.date.today().strftime("%d-%m-%Y")
+                path = os.path.join(self.save_root,
+                                    f"speed_benchmark_{fmt_date}.txt")
+                with open(path, "a") as f:
+                    f.write(f"{dt:.6f}")
         # ONE device->host transfer of the uncropped meta; the target crop is
         # a host-side view of it (crop_to_target is a pure slice)
         self.full_image = np.asarray(meta)
@@ -187,6 +238,7 @@ class CloseLoopPanoramaManager(BaseManager):
     def task_specific_init(self, seed: Optional[int] = None) -> None:
         super().task_specific_init(seed)
         self.engine = self._build_engine(close_loop=True)
+        self._init_engine_mode(close_loop=True)
 
 
 @dataclass
@@ -197,3 +249,4 @@ class InfiniteGenerationManager(BaseManager):
     def task_specific_init(self, seed: Optional[int] = None) -> None:
         super().task_specific_init(seed)
         self.engine = self._build_engine(close_loop=False)
+        self._init_engine_mode(close_loop=False)

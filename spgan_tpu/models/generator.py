@@ -388,6 +388,9 @@ class TextureSynthesizer:
                    rng: Optional[jax.Array] = None,
                    skip_grids: Optional[Sequence[jnp.ndarray]] = None,
                    grid_groups: int = 0,
+                   skip_tables: Optional[Sequence[dict]] = None,
+                   skip_margins: Optional[Sequence[int]] = None,
+                   tables_groups: int = 0,
                    return_feats: bool = False):
         """structure_latent: (B,11,11,256); styles: (B, n_latent, 512).
 
@@ -423,9 +426,16 @@ class TextureSynthesizer:
                     grid = None if skip_grids is None else skip_grids[i2j[i]]
                     if return_feats:
                         feats[f"to_rgb_{i}"] = skip
-                    skip = sphere_skip.apply(params["sp_convs"][i2j[i]],
-                                             skip, cp, grid=grid,
-                                             grid_groups=grid_groups)
+                    if skip_tables is not None:
+                        skip = sphere_skip.apply(
+                            params["sp_convs"][i2j[i]], skip, cp,
+                            tables=skip_tables[i2j[i]],
+                            tables_groups=tables_groups,
+                            margin=skip_margins[i2j[i]])
+                    else:
+                        skip = sphere_skip.apply(params["sp_convs"][i2j[i]],
+                                                 skip, cp, grid=grid,
+                                                 grid_groups=grid_groups)
                     if return_feats:
                         feats[f"sphere_to_rgb_{i}"] = skip
                 skip = rgb_specs[cur_rgb].apply(

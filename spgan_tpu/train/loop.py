@@ -166,21 +166,35 @@ def train(cfg: Config, debug: bool = False, seed: int = 0,
             noise_rng=jax.random.fold_in(kvis, 6))["gen"]
         return style_div, struct_div
 
-    # 2x-extended visualization (reference train.py:133-147,463-622) —
-    # enabled when the config doesn't set no_ext
-    vis_ext_forward = None
-    if not tp.no_ext and g.ss is not None:
-        vis_ll_ext = sampler.sample_local(jax.random.fold_in(kvis, 3), n_vis,
-                                          spatial_size_enlarge=2)
+    # extended visualization grids (reference train.py:128-147,595-622):
+    # ext_mult_list is [] above patch 512, [2] above 256, [] when no_ext,
+    # else [2, 4]
+    if tp.patch_size > 512:
+        ext_mult_list = []
+    elif tp.patch_size > 256:
+        ext_mult_list = [2]
+    elif tp.no_ext:
+        ext_mult_list = []
+    else:
+        ext_mult_list = [2, 4]
+    def _make_ext_forward(mult):
+        ll_ext = sampler.sample_local(jax.random.fold_in(kvis, 2 + mult),
+                                      n_vis, spatial_size_enlarge=mult)
 
         @jax.jit
-        def vis_ext_forward(params_ema, kc):
+        def fwd(params_ema, kc):
             coords, _, cp = g.ss.coord_grid.sample_training_extrap(
-                kc, n_vis, vis_ll_ext.shape[1])
+                kc, n_vis, ll_ext.shape[1])
             out = g.apply(params_ema, global_latent=vis_gl,
-                          local_latent=vis_ll_ext, coords=coords, cp=cp,
-                          noise_rng=jax.random.fold_in(kvis, 4))
+                          local_latent=ll_ext, coords=coords, cp=cp,
+                          noise_rng=jax.random.fold_in(kvis, 2 * mult))
             return out["gen"]
+
+        return fwd
+
+    vis_ext_forwards = []
+    if g.ss is not None:
+        vis_ext_forwards = [(m, _make_ext_forward(m)) for m in ext_mult_list]
 
     fid_eval = None
     fid_ext2_eval = None
@@ -204,6 +218,12 @@ def train(cfg: Config, debug: bool = False, seed: int = 0,
     total = tp.iter if max_iters is None else min(tp.iter, max_iters)
     lp = cfg.log_params
     t_last = time.time()
+    # Most-recent lazy-regularization metrics, carried across dispatches so a
+    # log tick that doesn't coincide with a reg step still reports the last
+    # computed r1/path values (the reference's loss_dict persists them the
+    # same way, train.py:300,399,438-452).  Device arrays only — never forced
+    # outside a log tick, so the async dispatch pipeline is unaffected.
+    reg_carry = {}
     try:
         it = start_iter
         while it < total:
@@ -222,6 +242,7 @@ def train(cfg: Config, debug: bool = False, seed: int = 0,
                 state, metrics = step_fn_many(state, real_patch, real_ac,
                                               base_key, do_r1=r1s,
                                               do_ppl=ppls)
+                had_r1, had_ppl = any(r1s), any(ppls)
                 it += k
             else:
                 batch = next(pipeline)
@@ -232,7 +253,13 @@ def train(cfg: Config, debug: bool = False, seed: int = 0,
                           and (it >= tp.g_path_start))
                 state, metrics = step_fn(state, real_patch, real_ac, base_key,
                                          do_r1=do_r1, do_ppl=do_ppl)
+                had_r1, had_ppl = do_r1, do_ppl
                 it += 1
+            if had_r1:
+                reg_carry["r1"] = metrics["r1"]
+            if had_ppl:
+                reg_carry["path"] = metrics["path"]
+                reg_carry["path_lengths"] = metrics["path_lengths"]
 
             if debug:
                 jax.block_until_ready(state)
@@ -241,7 +268,7 @@ def train(cfg: Config, debug: bool = False, seed: int = 0,
                 break
 
             if it % lp.log_tick == 0 and writer is not None:
-                for k, v in metrics.items():
+                for k, v in {**metrics, **reg_carry}.items():
                     writer.add_scalar(f"losses/{k}", float(v), it)
                 now = time.time()
                 writer.add_scalar("utils/iters_per_sec",
@@ -276,10 +303,12 @@ def train(cfg: Config, debug: bool = False, seed: int = 0,
                                               jax.random.fold_in(kvis, it)))
                 writer.add_image("samples/ema", _to_grid(imgs), it,
                                  dataformats="HWC")
-                if vis_ext_forward is not None:
-                    ext = np.asarray(vis_ext_forward(
-                        state.params_g_ema, jax.random.fold_in(kvis, it + 1)))
-                    writer.add_image("samples/ema_ext2", _to_grid(ext, 4), it,
+                for mult, fwd in vis_ext_forwards:
+                    ext = np.asarray(fwd(
+                        state.params_g_ema,
+                        jax.random.fold_in(kvis, it + mult)))
+                    writer.add_image(f"samples/ema_ext{mult}",
+                                     _to_grid(ext, max(1, 8 // mult)), it,
                                      dataformats="HWC")
                 sd, td = vis_diversity(state.params_g_ema,
                                        jax.random.fold_in(kvis, it + 2))

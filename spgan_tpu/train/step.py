@@ -291,9 +291,25 @@ def make_train_step_many(cfg: Config, g: Generator, d: Discriminator,
                   real_acs: jnp.ndarray, key: jax.Array,
                   do_r1: Tuple[bool, ...], do_ppl: Tuple[bool, ...]):
         metrics = None
+        # Lazily-regularized metrics are only meaningful on the inner steps
+        # where the phase actually ran; returning the LAST inner step's dict
+        # verbatim would report 0 whenever the window doesn't END on a reg
+        # step (with log_tick=100 / d_reg_every=16 that is ALWAYS — the
+        # round-3 5k run logged r1=path=0 for its whole life).  Keep the most
+        # recent reg-step value from the window instead, mirroring the
+        # reference's persisted loss_dict (train.py:300,399 assign only in
+        # the reg branch, :438-452 log whatever value persists).
+        reg_carry: Dict[str, jnp.ndarray] = {}
         for i, (r1, ppl) in enumerate(zip(do_r1, do_ppl)):
             state, metrics = base(state, real_patches[i], real_acs[i], key,
                                   do_r1=r1, do_ppl=ppl)
+            if r1:
+                reg_carry["r1"] = metrics["r1"]
+            if ppl:
+                reg_carry["path"] = metrics["path"]
+                reg_carry["path_lengths"] = metrics["path_lengths"]
+        metrics = dict(metrics)
+        metrics.update(reg_carry)
         return state, metrics
 
     return functools.partial(jax.jit,

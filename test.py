@@ -34,6 +34,9 @@ def main():
     ap.add_argument("--exp-suffix", default=None,
                     help="suffix appended to the save directory name "
                          "(reference test.py:202)")
+    ap.add_argument("--override-save-idx", type=int, default=None,
+                    help="start the saved-image global id here "
+                         "(reference test.py:137,208-209 -> task.init_index)")
     ap.add_argument("--speed-benchmark", action="store_true")
     ap.add_argument("--calc-flops", action="store_true")
     ap.add_argument("--num-gen", type=int, default=None)
@@ -80,6 +83,8 @@ def main():
             "interactive tool.")
     if args.num_gen is not None:
         cfg.task.num_gen = args.num_gen
+    if args.override_save_idx is not None:
+        cfg.task.init_index = args.override_save_idx
     seed = args.seed if args.seed is not None else cfg.task.seed
     manually_seed(seed)
 
@@ -117,8 +122,11 @@ def main():
         cfg.log_dir, cfg.exp_name, "test", test_name)
 
     manager_cls = import_func(cfg.task.task_manager)
+    # save_root is kept in benchmark mode too: run_next(save=False) skips the
+    # image writes but the per-day speed_benchmark_<date>.txt files land next
+    # to the outputs like the reference's (close_loop:292-299)
     manager = manager_cls(g=g, params_ema=params_ema, config=cfg,
-                          save_root=None if args.speed_benchmark else save_root)
+                          save_root=save_root)
     manager.task_specific_init(seed=seed)
 
     batch = cfg.task.batch_size

@@ -95,6 +95,38 @@ def test_dump_vars_and_inter_ckpt_roundtrip(cli_env):
     np.testing.assert_array_equal(regen2, crop)
 
 
+def test_override_save_idx(cli_env, tmp_path):
+    """--override-save-idx starts the global image id there (reference
+    test.py:137,208-209 -> task.init_index)."""
+    out = str(tmp_path / "out_idx")
+    _run_cli(["--model-config", cli_env["model"],
+              "--test-config", cli_env["test"],
+              "--random-init", "--override-save-idx", "41",
+              "--save-root", out])
+    imgs = sorted(f for f in os.listdir(out) if f.endswith(".png"))
+    assert imgs == ["000041.png"]
+
+
+def test_speed_benchmark_writes_per_day_file(cli_env, monkeypatch, tmp_path):
+    """--speed-benchmark writes the per-day speed_benchmark_<date>.txt next
+    to the outputs (reference close_loop:292-299 / infinite:195-202) and the
+    logs-quant summary (reference test.py:108-121)."""
+    monkeypatch.chdir(tmp_path)
+    out = str(tmp_path / "out_bench")
+    _run_cli(["--model-config", cli_env["model"],
+              "--test-config", cli_env["test"],
+              "--random-init", "--speed-benchmark",
+              "--save-root", out])
+    import datetime
+
+    day = datetime.date.today().strftime("%d-%m-%Y")
+    assert os.path.isfile(os.path.join(out, f"speed_benchmark_{day}.txt"))
+    # benchmark mode must not save images
+    assert not [f for f in os.listdir(out) if f.endswith(".png")]
+    assert any(f.startswith("benchmark-") for f in os.listdir(
+        os.path.join("logs-quant", "benchmark_results")))
+
+
 def test_exp_suffix_names_save_dir(cli_env, monkeypatch, tmp_path):
     monkeypatch.chdir(tmp_path)
     _run_cli(["--model-config", cli_env["model"],

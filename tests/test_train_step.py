@@ -116,10 +116,13 @@ def test_step_many_equals_sequential_steps():
 
     step = make_train_step(cfg, g, d)
     s = state0
+    r1_seq = None
     for i in range(2):
         s, m_seq = step(s, shard_batch(jnp.asarray(patches[i]), mesh),
                         shard_batch(jnp.asarray(acs[i]), mesh), key,
                         do_r1=(i == 0), do_ppl=False)
+        if i == 0:
+            r1_seq = float(m_seq["r1"])
 
     step_many = make_train_step_many(cfg, g, d)
     s2, m_many = step_many(
@@ -133,6 +136,11 @@ def test_step_many_equals_sequential_steps():
     assert int(s2.step) == 2
     np.testing.assert_allclose(float(m_seq["g_total_loss"]),
                                float(m_many["g_total_loss"]), rtol=1e-5)
+    # lazy-reg metric carry: the window ENDS on a non-r1 step, but r1 ran at
+    # inner step 0 — step_many must report that value, not the trailing 0
+    # (the round-3 5k run logged r1=path=0 forever before this fix)
+    assert r1_seq > 0
+    np.testing.assert_allclose(float(m_many["r1"]), r1_seq, rtol=1e-5)
 
 
 def test_pallas_sampler_step_matches_xla_step():
