@@ -34,11 +34,14 @@ def main():
     g = Generator.from_config(cfg)
     params = g.init(jax.random.PRNGKey(0))
 
+    # opt-out ablation knob (tools A/B; the driver runs plain `python bench.py`)
+    skip_tables = "--no-skip-tables" not in os.sys.argv
+
     plan = build_close_loop_plan(g, cfg.task.height, cfg.task.width)
     engine = PanoramaEngine(
         g=g, plan=plan, batch=batch, patch_chunk=cfg.task.patch_chunk,
         grid_partial=cfg.train_params.partial,
-        compute_dtype="bfloat16")
+        compute_dtype="bfloat16", use_skip_tables=skip_tables)
 
     # warmup / compile
     meta = engine.generate(params, jax.random.PRNGKey(1))

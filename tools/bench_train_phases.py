@@ -35,13 +35,19 @@ import jax
 import jax.numpy as jnp
 
 
+def _force(out):
+    # block_until_ready returns EARLY through the remote axon runtime
+    # (.claude/skills/verify) — fetching a scalar to the host is the only
+    # trustworthy completion barrier
+    return float(jax.tree_util.tree_leaves(out)[0])
+
+
 def timeit(fn, *args, iters=20, **kw):
-    out = fn(*args, **kw)
-    jax.block_until_ready(out)
+    _force(fn(*args, **kw))
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fn(*args, **kw)
-    jax.block_until_ready(out)
+    _force(out)
     return (time.perf_counter() - t0) / iters
 
 
