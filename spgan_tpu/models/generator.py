@@ -59,12 +59,21 @@ def pair_inputs(x: jnp.ndarray) -> jnp.ndarray:
 
 
 def angular_similarity(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-    """(reference spgan.py:71-76)"""
-    a = a.reshape(a.shape[0], -1)
-    b = b.reshape(b.shape[0], -1)
+    """(reference spgan.py:71-76)
+
+    Computed in f32 regardless of the compute dtype, with the cosine clipped
+    strictly inside (-1, 1): arccos' = -1/sqrt(1-x^2) is INFINITE at the
+    clip boundary, and under bf16 the cosine of near-identical dual-latent
+    structure outputs rounds to exactly 1.0 — one saturated pair then NaNs
+    every SS parameter gradient (observed: the round-3 bf16 5k run was NaN
+    from its first optimizer step).  The 1e-7 margin changes the forward
+    value only for pairs already beyond float resolution of alignment and
+    bounds the backward slope at ~2.2e3."""
+    a = a.reshape(a.shape[0], -1).astype(jnp.float32)
+    b = b.reshape(b.shape[0], -1).astype(jnp.float32)
     denom = jnp.linalg.norm(a, axis=1) * jnp.linalg.norm(b, axis=1)
     cos = jnp.sum(a * b, axis=1) / denom
-    cos = jnp.clip(cos, -1.0, 1.0)
+    cos = jnp.clip(cos, -1.0 + 1e-7, 1.0 - 1e-7)
     return 1.0 - jnp.arccos(cos) / np.pi
 
 

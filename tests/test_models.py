@@ -276,3 +276,24 @@ def test_ss_noise_and_mapping_and_discrete_coords():
     cfg_bad.train_params.ss_coord_all_layers = "once"
     with pytest.raises(ValueError, match="ss_coord_all_layers"):
         Generator.from_config(cfg_bad)
+
+
+def test_diversity_loss_saturated_pair_grad_finite():
+    """arccos' is infinite at cos=+-1; under bf16 the cosine of
+    near-identical dual-latent structure outputs rounds to EXACTLY 1 and a
+    naive clip(-1,1) NaNs every SS parameter gradient (the round-3 bf16 5k
+    run was NaN from its first optimizer step).  angular_similarity must
+    compute in f32 with a strict-interior clip so the saturated-pair
+    gradient stays finite."""
+    from spgan_tpu.models.generator import StructureSynthesizer
+
+    ss = StructureSynthesizer()
+    rng = np.random.RandomState(0)
+    z = jnp.asarray(rng.randn(4, 9, 9, 8), jnp.bfloat16)
+    # paired structure outputs bit-identical -> cos == 1 exactly
+    x = jnp.repeat(z[0::2], 2, axis=0)
+
+    val, grad = jax.value_and_grad(
+        lambda v: ss.diversity_z_loss(z, v))(x)
+    assert np.isfinite(float(val))
+    assert bool(jnp.all(jnp.isfinite(grad)))
