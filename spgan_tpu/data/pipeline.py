@@ -7,6 +7,8 @@ Behavioral parity targets (reference dataset.py):
     coord_num_dir==3: (raw x ratio, sin(pi*y'), cos(pi*y')) with the
     reference's exact (input-patch-1) denominators (:195-199)
   * [-1,1] normalization (:507-512)
+  * RectCropPatch (:273-386) is intentionally absent: the reference defines
+    it but never instantiates it anywhere (dead code) — nothing to match.
 
 Sources: "synthetic" (noise panos, for smoke/integration), "folder" (a
 directory of image files), "npy" (a packed (N,H,W,3) uint8 array — the

@@ -163,6 +163,35 @@ def sphere_offset_tables(p_x_st, p_x_ed, p_y_st, p_y_ed, circular,
     return {"y0": y0, "y1": y1, "wy": wy, "sx": sx, "fx": fx}
 
 
+def training_col_margin(w: int, k: int, x_total: int, y_total: int,
+                        grid_partial: float, n: int = 8193) -> int:
+    """Worst-case column-shift margin of the offset tables over ALL training
+    crops at layer width ``w``.
+
+    dx(r, t) = lon_off(lat_r, t) * (w - 1) / 2 depends only on the row
+    latitude, and training-crop latitudes lie inside
+    [-pi/2, pi/2] * grid_partial (coords.sample_training: p_x in [0, 1],
+    lat = linspace(p_x_st, p_x_ed)*pi*gp - pi/2*gp), so a dense latitude
+    sweep bounds the integer shift sx = floor(dx) for every possible crop.
+    Returns M guaranteeing sx in [-M, M-1] (the tap-conv contract), min 6.
+
+    This is the training-time counterpart of the engine's exact lattice-plan
+    margins (infer/engine.py): there cp is static so max|sx| is measured; here
+    cp is traced so the bound is analytic over the crop distribution.
+    """
+    ker_x, ker_y, rho, nu = _kernel_offsets(k, x_total, y_total)
+    cos_nu, sin_nu = np.cos(nu), np.sin(nu)
+    half = np.pi / 2.0 * grid_partial
+    lat = np.linspace(-half, half, n)
+    sin_lat = np.sin(lat)[:, None, None]
+    cos_lat = np.cos(lat)[:, None, None]
+    lon_off = np.arctan(
+        ker_x * sin_nu / (rho * cos_lat * cos_nu - ker_y * sin_lat * sin_nu))
+    dx = lon_off.reshape(n, k * k) * (w - 1) / 2.0
+    sx = np.floor(dx).astype(np.int64)
+    return max(6, int(-sx.min()), int(sx.max()) + 1)
+
+
 def sphere_offset_tables_batch(cp, h: int, w: int, k: int = 3) -> dict:
     """Batched offset tables from a CoordsPartial: dict of (B, h, k*k)."""
     fn = lambda a, b, c, d, e: sphere_offset_tables(

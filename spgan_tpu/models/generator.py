@@ -340,6 +340,18 @@ class TextureSynthesizer:
         return derive_stitch_geometry(self.conv_specs_spatial(),
                                       self.ts_input_size)
 
+    def skip_sizes(self) -> List[int]:
+        """Input spatial size of each i2j sphere skip conv (= the previous
+        ToRGB's output size) for a ts_input_size training patch — the sizes
+        at which training-time skip offset tables must be built (mirrors
+        infer/engine.py's static-lattice derivation)."""
+        from spgan_tpu.ops.spatial import out_size_chain
+
+        _, _, i2j = self.plan()
+        out_sizes = out_size_chain(self.conv_specs_spatial(),
+                                   self.ts_input_size)
+        return [int(out_sizes[src - 2]) for src in sorted(i2j)]
+
     def mapping_spec(self) -> EqualLinear:
         return EqualLinear(self.global_dim, self.global_dim, lr_mul=0.01,
                            activation="fused_lrelu")
@@ -539,6 +551,7 @@ class Generator:
               inject_index: Optional[jnp.ndarray] = None,
               ss_grids=None, skip_grids=None,
               ss_tables_list=None, ss_tables_mode: str = "fused",
+              ts_skip_tables=None, ts_skip_margins=None,
               compute_diversity: bool = False) -> Dict[str, jnp.ndarray]:
         """Pure forward. Latent pairing / coord sampling / mixing-index
         randomness happen in the training wrapper, not here."""
@@ -561,7 +574,9 @@ class Generator:
             styles = self.build_styles(params, global_latent, inject_index)
         img = self.ts.synthesize(params["ts"], structure_latent, styles, cp,
                                  noises=noises, rng=noise_rng,
-                                 skip_grids=skip_grids)
+                                 skip_grids=skip_grids,
+                                 skip_tables=ts_skip_tables,
+                                 skip_margins=ts_skip_margins)
         out["gen"] = img
         out["structure_latent"] = structure_latent
         out["styles"] = styles

@@ -52,6 +52,18 @@ def _build_step(cfg: Config, g: Generator, d: Discriminator,
         tp.pallas_train_sampler == "on"
         or (tp.pallas_train_sampler == "auto"
             and jax.default_backend() == "tpu"))
+    # TS sphere-skip convs on the row-offset tap path (same gate): margins
+    # are static worst-case bounds over the training-crop distribution —
+    # the traced-cp counterpart of the engine's exact lattice margins
+    skip_sizes, skip_margins = [], None
+    if use_sampler:
+        from spgan_tpu.geometry.sphere_grid import training_col_margin
+
+        grid = g.ss.coord_grid
+        skip_sizes = g.ts.skip_sizes()
+        skip_margins = [
+            training_col_margin(s, 3, grid.size_x, grid.size_y, 0.8)
+            for s in skip_sizes]
 
     # freeze support (reference train.py:959-978): baseline-loaded G keys
     # masked out of the update; the D is frozen wholesale.  MultiStepLR
@@ -91,16 +103,21 @@ def _build_step(cfg: Config, g: Generator, d: Discriminator,
 
     def ss_tables(cp, ll):
         if not use_sampler:
-            return None, "fused"
-        return g.ss.train_tables(cp, ll.shape[1]), "sample"
+            return None, "fused", None
+        from spgan_tpu.geometry.sphere_grid import sphere_offset_tables_batch
+
+        skip_tbls = [sphere_offset_tables_batch(cp, s, s)
+                     for s in skip_sizes]
+        return g.ss.train_tables(cp, ll.shape[1]), "sample", skip_tbls
 
     def g_forward(params_g, key, bsz, compute_diversity=True):
         gl, ll, coords, ac, cp, inject, kn = sample_g_inputs(key, bsz)
-        tbls, tmode = ss_tables(cp, ll)
+        tbls, tmode, skip_tbls = ss_tables(cp, ll)
         out = g.apply(params_g, global_latent=gl, local_latent=ll,
                       coords=coords, cp=cp, noise_rng=kn,
                       inject_index=inject, compute_diversity=compute_diversity,
-                      ss_tables_list=tbls, ss_tables_mode=tmode)
+                      ss_tables_list=tbls, ss_tables_mode=tmode,
+                      ts_skip_tables=skip_tbls, ts_skip_margins=skip_margins)
         out["ac_coords"] = ac
         return out
 
@@ -221,7 +238,7 @@ def _build_step(cfg: Config, g: Generator, d: Discriminator,
             def ppl_loss_fn(params_g):
                 gl, ll, coords, ac, cp, inject, kn = sample_g_inputs(
                     k_ppl, pbsz)
-                tbls, tmode = ss_tables(cp, ll)
+                tbls, tmode, skip_tbls = ss_tables(cp, ll)
                 structure = g.ss.apply(params_g["ss"], gl[:, 0], ll, coords,
                                        cp, tables_list=tbls,
                                        tables_mode=tmode)
@@ -229,7 +246,8 @@ def _build_step(cfg: Config, g: Generator, d: Discriminator,
 
                 def synth(st):
                     return g.ts.synthesize(params_g["ts"], structure, st, cp,
-                                           rng=kn)
+                                           rng=kn, skip_tables=skip_tbls,
+                                           skip_margins=skip_margins)
 
                 lengths = losses.ppl_lengths(
                     jax.random.fold_in(k_ppl, 1), synth, styles)

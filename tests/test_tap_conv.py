@@ -167,3 +167,25 @@ def test_skip_conv_apply_tables_matches_grid():
         got = np.asarray(conv.apply(params, z, cp, tables=tables,
                                     margin=_margin(tables)))
         np.testing.assert_allclose(got, want, atol=2e-4, rtol=1e-4)
+
+
+def test_training_col_margin_bounds_all_training_crops():
+    """The static worst-case margin (train/step.py's skip-table gate) must
+    bound the integer column shifts of tables built from ANY training crop —
+    an under-estimate would silently clip sx and change outputs vs the
+    gather path."""
+    from spgan_tpu.geometry.coords import CoordGrid
+    from spgan_tpu.geometry.sphere_grid import training_col_margin
+    from spgan_tpu.models.generator import TextureSynthesizer
+
+    grid = CoordGrid()
+    ts = TextureSynthesizer()
+    sizes = ts.skip_sizes() + [grid.ss_spatial_size]  # skips + SS layers
+    for s in sizes:
+        m = training_col_margin(s, 3, grid.size_x, grid.size_y, 0.8)
+        worst = 0
+        for seed in range(64):
+            _, _, cp = grid.sample_training(jax.random.PRNGKey(seed), 8)
+            sx = np.asarray(sphere_offset_tables_batch(cp, s, s)["sx"])
+            worst = max(worst, int(sx.max()) + 1, int(-sx.min()))
+        assert worst <= m, (s, worst, m)
