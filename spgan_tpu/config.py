@@ -110,8 +110,10 @@ class DataParams:
     lmdb_root: str = "infinityGAN-lmdb"
     raw_data_root: str = "data/matterport3d_panorama"
     # TPU-native additions.  "spr" is the packed record format for the
-    # native C++ loader (convert a reference LMDB with tools/convert_lmdb.py)
-    source: str = "synthetic"  # "synthetic" | "folder" | "npy" | "spr"
+    # native C++ loader (convert a reference LMDB with tools/convert_lmdb.py);
+    # "lmdb" reads a reference-prepared LMDB dir in-process via the
+    # pure-python parser (spgan_tpu/data/lmdb_read.py)
+    source: str = "synthetic"  # "synthetic" | "folder" | "npy" | "lmdb" | "spr"
     folder: Optional[str] = None
 
 

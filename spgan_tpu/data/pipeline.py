@@ -12,7 +12,9 @@ Behavioral parity targets (reference dataset.py):
 
 Sources: "synthetic" (noise panos, for smoke/integration), "folder" (a
 directory of image files), "npy" (a packed (N,H,W,3) uint8 array — the
-prepare_data.py analogue, see spgan_tpu/data/records.py).
+prepare_data.py analogue, see spgan_tpu/data/records.py), "lmdb" (a
+reference-prepared LMDB read in-process via the pure-python parser,
+spgan_tpu/data/lmdb_read.py), "spr" (packed records, native C++ loader).
 
 The loader is a double-buffered background-thread prefetcher; batches are
 numpy, handed to jax.device_put by the training loop.
@@ -112,6 +114,35 @@ def _npy_source(path: str):
     return arr.shape[0], load
 
 
+def _lmdb_source(folder: str):
+    """A reference-prepared LMDB read directly (dataset.py:388-610 key
+    layout f"{size}-{idx}") via the pure-python parser — no conversion and
+    no `lmdb` module needed."""
+    import io
+    import re
+
+    try:
+        import lmdb  # the C binding, if someone installed it
+    except ImportError:
+        from spgan_tpu.data import lmdb_read as lmdb
+
+    env = lmdb.open(folder, readonly=True, lock=False, readahead=False,
+                    meminit=False)
+    key_re = re.compile(rb"^.*-\d{5,8}$")
+    with env.begin(write=False) as txn:
+        keys = [k for k, _ in txn.cursor() if key_re.match(k)]
+    assert keys, f"no image keys found in LMDB {folder}"
+
+    def load(idx):
+        from PIL import Image
+
+        with env.begin(write=False) as txn:
+            raw = txn.get(keys[idx % len(keys)])
+        return np.asarray(Image.open(io.BytesIO(raw)).convert("RGB"))
+
+    return len(keys), load
+
+
 def make_data_source(cfg: Config):
     dp = cfg.data_params
     if dp.source == "synthetic":
@@ -121,6 +152,8 @@ def make_data_source(cfg: Config):
         return _folder_source(dp.folder)
     if dp.source == "npy":
         return _npy_source(dp.folder)
+    if dp.source == "lmdb":
+        return _lmdb_source(dp.folder or dp.lmdb_root)
     if dp.source == "spr":
         from spgan_tpu.data.native_loader import read_records
 
@@ -128,7 +161,8 @@ def make_data_source(cfg: Config):
         return arr.shape[0], lambda idx: np.asarray(arr[idx % arr.shape[0]])
     raise ValueError(
         f"unknown data source {dp.source!r}; supported: synthetic | folder "
-        "| npy | spr (convert a reference LMDB via tools/convert_lmdb.py)")
+        "| npy | lmdb (a reference-prepared LMDB dir, read in-process) "
+        "| spr (convert a reference LMDB via tools/convert_lmdb.py)")
 
 
 class NativeTrainPipeline:

@@ -2,9 +2,7 @@
 """Convert a reference-prepared LMDB dataset into an SPR1 record file.
 
 The reference stores images in LMDB under keys f"{size}-{idx:0{5|8}d}" plus a
-"length" key (reference prepare_data.py:100-175, dataset.py:388-610).  The
-`lmdb` python module is NOT available in this runtime, so this tool is meant
-to be run wherever the LMDB was prepared:
+"length" key (reference prepare_data.py:100-175, dataset.py:388-610).
 
     python tools/convert_lmdb.py --lmdb /path/to/lmdb_dir --out data.spr \
         [--height 256 --width 768] [--key-prefix "[768, 256]"]
@@ -12,9 +10,10 @@ to be run wherever the LMDB was prepared:
 and the resulting .spr file is consumed here via
     data_params.source: spr,  data_params.folder: data.spr
 
-Fallback without lmdb anywhere: dump the LMDB to a folder of PNGs with the
-reference's own prepare_data.py --untar flow (or any LMDB browser) and use
-    python tools/prepare_records.py pack --folder DIR --out data.spr
+Works with zero extra dependencies: when the python `lmdb` module is absent
+(as in this runtime) the built-in pure-python parser of the LMDB on-disk
+format is used instead (spgan_tpu/data/lmdb_read.py).  Alternatively skip
+conversion entirely with data_params.source: lmdb pointing at the LMDB dir.
 """
 import argparse
 import io
@@ -46,9 +45,13 @@ def main():
     try:
         import lmdb
     except ImportError:
-        sys.exit("the `lmdb` module is not installed in this environment; "
-                 "run this tool where the LMDB was prepared (see module "
-                 "docstring for the no-lmdb fallback)")
+        # zero-dependency fallback: the built-in pure-python parser of the
+        # LMDB on-disk format (read-only — all this tool needs)
+        from spgan_tpu.data import lmdb_read as lmdb
+
+        print("[convert_lmdb] python `lmdb` module absent — using the "
+              "built-in pure-python read-only parser "
+              "(spgan_tpu/data/lmdb_read.py)")
     from PIL import Image
 
     from spgan_tpu.data.native_loader import write_records
