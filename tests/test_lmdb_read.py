@@ -66,6 +66,24 @@ def test_multipage_btree(tmp_path):
     assert list(txn.cursor()) == [(k, items[k]) for k in keys]
 
 
+def test_binary_keys_random_lengths(tmp_path):
+    """Random-length binary keys (incl. prefix-of-another-key cases) stress
+    the memcmp ordering and the branch separators that land on arbitrary
+    byte boundaries; python bytes ordering == LMDB's default memcmp order."""
+    rng = np.random.RandomState(5)
+    items = {}
+    while len(items) < 700:
+        k = rng.bytes(rng.randint(1, 40))
+        items[k] = rng.bytes(rng.randint(0, 900))
+        if len(items) % 3 == 0:
+            items[k + b"\x00"] = b"suffix"   # prefix pairs
+    env = _roundtrip(tmp_path, items)
+    txn = env.begin()
+    for k in sorted(items)[::13]:
+        assert txn.get(k) == items[k]
+    assert list(txn.cursor()) == [(k, items[k]) for k in sorted(items)]
+
+
 def test_overflow_values(tmp_path):
     # jpeg-sized values (10-40 KB) -> F_BIGDATA overflow chains
     rng = np.random.RandomState(1)
