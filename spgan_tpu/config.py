@@ -115,6 +115,9 @@ class DataParams:
     # pure-python parser (spgan_tpu/data/lmdb_read.py)
     source: str = "synthetic"  # "synthetic" | "folder" | "npy" | "lmdb" | "spr"
     folder: Optional[str] = None
+    # source=="lmdb" only: key prefix before "-<index>" (e.g. "256"); required
+    # when the LMDB stores multiple resolutions (prepare_data resize_multiple)
+    lmdb_key_prefix: Optional[str] = None
 
 
 @dataclass

@@ -196,15 +196,21 @@ class Environment:
             pgno = nodes[i][2] | (nodes[i][1] << 32)
         raise LmdbFormatError("tree deeper than the meta's depth field")
 
-    def _iter_leaves(self, pgno: int) -> Iterator[Tuple[bytes, bytes]]:
+    def _iter_leaves(self, pgno: int,
+                     values: bool = True) -> Iterator[Tuple[bytes, bytes]]:
         off = self._page(pgno)
         flags, nodes = self._nodes(off)
         if flags & P_LEAF:
             for key, nflags, dsize, doff in nodes:
-                yield key, self._leaf_value(nflags, dsize, doff)
+                # values=False skips value materialization entirely — a
+                # keys-only walk of a multi-GB LMDB must not reassemble
+                # every overflow chain just to enumerate keys
+                yield key, (self._leaf_value(nflags, dsize, doff)
+                            if values else None)
         elif flags & P_BRANCH:
             for _, nflags, lohi, _ in nodes:
-                yield from self._iter_leaves(lohi | (nflags << 32))
+                yield from self._iter_leaves(lohi | (nflags << 32),
+                                             values=values)
         else:
             raise LmdbFormatError(f"page {pgno}: unexpected flags "
                                   f"{flags:#x} inside the tree")
@@ -264,7 +270,10 @@ class Cursor:
         yield from self.env._iter_leaves(self.env.main.root)
 
     def iternext(self, keys: bool = True, values: bool = True):
-        for k, v in self:
+        if self.env.main.root == _P_INVALID:
+            return
+        it = self.env._iter_leaves(self.env.main.root, values=values)
+        for k, v in it:
             if keys and values:
                 yield k, v
             elif keys:

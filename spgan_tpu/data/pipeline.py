@@ -26,7 +26,7 @@ import queue
 import threading
 from dataclasses import dataclass
 from glob import glob
-from typing import Dict, Iterator
+from typing import Dict, Iterator, Optional
 
 import numpy as np
 
@@ -114,10 +114,16 @@ def _npy_source(path: str):
     return arr.shape[0], load
 
 
-def _lmdb_source(folder: str):
+def _lmdb_source(folder: str, key_prefix: Optional[str] = None):
     """A reference-prepared LMDB read directly (dataset.py:388-610 key
     layout f"{size}-{idx}") via the pure-python parser — no conversion and
-    no `lmdb` module needed."""
+    no `lmdb` module needed.
+
+    A multi-resolution LMDB (reference prepare_data.py resize_multiple)
+    stores every image once per size under distinct prefixes; training on
+    all of them would silently duplicate and rescale the dataset, so when
+    more than one prefix exists `lmdb_key_prefix` must pick one.
+    """
     import io
     import re
 
@@ -128,10 +134,30 @@ def _lmdb_source(folder: str):
 
     env = lmdb.open(folder, readonly=True, lock=False, readahead=False,
                     meminit=False)
-    key_re = re.compile(rb"^.*-\d{5,8}$")
+    key_re = re.compile(rb"^(.*)-(\d{5,8})$")
+    by_prefix: Dict[bytes, list] = {}
     with env.begin(write=False) as txn:
-        keys = [k for k, _ in txn.cursor() if key_re.match(k)]
-    assert keys, f"no image keys found in LMDB {folder}"
+        # keys-only walk: do NOT materialize every stored image here
+        for k in txn.cursor().iternext(values=False):
+            m = key_re.match(k)
+            if m:
+                by_prefix.setdefault(m.group(1), []).append(k)
+    assert by_prefix, f"no image keys found in LMDB {folder}"
+    if key_prefix is not None:
+        enc = key_prefix.encode()
+        if enc not in by_prefix:
+            raise ValueError(
+                f"lmdb_key_prefix {key_prefix!r} not in LMDB {folder}; "
+                f"present: {sorted(p.decode() for p in by_prefix)}")
+        keys = by_prefix[enc]
+    elif len(by_prefix) > 1:
+        raise ValueError(
+            f"LMDB {folder} stores multiple resolutions/prefixes "
+            f"{sorted(p.decode() for p in by_prefix)} — training on all "
+            "would duplicate each image once per stored size; set "
+            "data_params.lmdb_key_prefix to pick one")
+    else:
+        (keys,) = by_prefix.values()
 
     def load(idx):
         from PIL import Image
@@ -153,7 +179,8 @@ def make_data_source(cfg: Config):
     if dp.source == "npy":
         return _npy_source(dp.folder)
     if dp.source == "lmdb":
-        return _lmdb_source(dp.folder or dp.lmdb_root)
+        return _lmdb_source(dp.folder or dp.lmdb_root,
+                            key_prefix=dp.lmdb_key_prefix)
     if dp.source == "spr":
         from spgan_tpu.data.native_loader import read_records
 

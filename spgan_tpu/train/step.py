@@ -30,6 +30,39 @@ from spgan_tpu.train.state import (TrainState, lr_schedule_factor,
                                     make_optimizers)
 
 
+def training_sampler_plan(cfg: Config, g: Generator):
+    """Gate + TS-skip tap plan shared by the step builder and
+    tools/bench_train_decomp.py (one source of truth — a bench with its own
+    gate could silently decompose a different program than the step).
+
+    Pallas tap sampler for the SS sphere convs (gradient-exact, replaces
+    the XLA gathers that dominate the training step — see
+    ops/pallas/sphere_sample.py), plus the TS sphere-skip convs on the
+    row-offset tap path: margins are static worst-case bounds over the
+    training-crop distribution (the traced-cp counterpart of the engine's
+    exact lattice margins).  Resolved at trace time.
+    """
+    tp = cfg.train_params
+    if tp.pallas_train_sampler not in ("auto", "on", "off"):
+        raise ValueError(
+            f"pallas_train_sampler must be auto|on|off, "
+            f"got {tp.pallas_train_sampler!r}")
+    use_sampler = g.ss is not None and (
+        tp.pallas_train_sampler == "on"
+        or (tp.pallas_train_sampler == "auto"
+            and jax.default_backend() == "tpu"))
+    skip_sizes, skip_margins = [], None
+    if use_sampler:
+        from spgan_tpu.geometry.sphere_grid import training_col_margin
+
+        grid = g.ss.coord_grid
+        skip_sizes = g.ts.skip_sizes()
+        skip_margins = [
+            training_col_margin(s, 3, grid.size_x, grid.size_y, 0.8)
+            for s in skip_sizes]
+    return use_sampler, skip_sizes, skip_margins
+
+
 def _build_step(cfg: Config, g: Generator, d: Discriminator,
                 freeze_g_mask=None):
     tp = cfg.train_params
@@ -41,29 +74,7 @@ def _build_step(cfg: Config, g: Generator, d: Discriminator,
     batch = tp.batch_size
     n_latent = g.ts.n_latent
     cdt = jnp.bfloat16 if tp.compute_dtype == "bfloat16" else jnp.float32
-    # Pallas tap sampler for the SS sphere convs (gradient-exact, replaces
-    # the XLA gathers that dominate the training step — see
-    # ops/pallas/sphere_sample.py); resolved at trace time
-    if tp.pallas_train_sampler not in ("auto", "on", "off"):
-        raise ValueError(
-            f"pallas_train_sampler must be auto|on|off, "
-            f"got {tp.pallas_train_sampler!r}")
-    use_sampler = g.ss is not None and (
-        tp.pallas_train_sampler == "on"
-        or (tp.pallas_train_sampler == "auto"
-            and jax.default_backend() == "tpu"))
-    # TS sphere-skip convs on the row-offset tap path (same gate): margins
-    # are static worst-case bounds over the training-crop distribution —
-    # the traced-cp counterpart of the engine's exact lattice margins
-    skip_sizes, skip_margins = [], None
-    if use_sampler:
-        from spgan_tpu.geometry.sphere_grid import training_col_margin
-
-        grid = g.ss.coord_grid
-        skip_sizes = g.ts.skip_sizes()
-        skip_margins = [
-            training_col_margin(s, 3, grid.size_x, grid.size_y, 0.8)
-            for s in skip_sizes]
+    use_sampler, skip_sizes, skip_margins = training_sampler_plan(cfg, g)
 
     # freeze support (reference train.py:959-978): baseline-loaded G keys
     # masked out of the update; the D is frozen wholesale.  MultiStepLR

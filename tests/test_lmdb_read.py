@@ -157,6 +157,15 @@ def test_brute_force_page_scan_agrees(tmp_path):
     assert dict(env.begin().cursor()) == items
 
 
+def test_keys_only_iteration(tmp_path):
+    """iternext(values=False) walks keys without materializing values (the
+    pipeline's startup enumeration path for multi-GB LMDBs)."""
+    items = {f"k{i}".encode(): b"v" * 5000 for i in range(20)}  # overflowing
+    env = _roundtrip(tmp_path, items)
+    got = list(env.begin().cursor().iternext(values=False))
+    assert got == sorted(items)
+
+
 def _png_bytes(arr):
     from PIL import Image
 
@@ -180,7 +189,9 @@ def test_convert_lmdb_fallback_end_to_end(tmp_path, monkeypatch):
     monkeypatch.setattr(sys, "argv", [
         "convert_lmdb.py", "--lmdb", d, "--out", out,
         "--height", "32", "--width", "64"])
-    sys.modules.pop("lmdb", None)
+    # force the ImportError fallback even where python-lmdb IS installed:
+    # sys.modules[name] = None makes `import lmdb` raise ImportError
+    monkeypatch.setitem(sys.modules, "lmdb", None)
     import importlib
 
     mod = importlib.import_module("tools.convert_lmdb")
@@ -216,3 +227,41 @@ def test_pipeline_lmdb_source(tmp_path):
     assert n == 3
     for i in range(3):
         np.testing.assert_array_equal(load(i), imgs[i])
+
+
+def test_pipeline_lmdb_multi_resolution_guard(tmp_path):
+    """A multi-resolution LMDB (reference prepare_data resize_multiple
+    stores each image once per size) must NOT silently train on duplicated
+    rescaled copies: no prefix -> loud error listing the prefixes;
+    lmdb_key_prefix picks one."""
+    import dataclasses
+
+    from spgan_tpu.config import load_config
+    from spgan_tpu.data.pipeline import _lmdb_source
+
+    rng = np.random.RandomState(6)
+    imgs = rng.randint(0, 255, (2, 32, 32, 3), np.uint8)
+    items = {}
+    for prefix in (b"128", b"256"):
+        for i in range(2):
+            items[prefix + f"-{i:08d}".encode()] = _png_bytes(imgs[i])
+    items[b"length"] = b"2"
+    d = write_lmdb(str(tmp_path / "multires"), items)
+
+    with pytest.raises(ValueError, match="multiple resolutions"):
+        _lmdb_source(d)
+    with pytest.raises(ValueError, match="not in LMDB"):
+        _lmdb_source(d, key_prefix="512")
+    n, load = _lmdb_source(d, key_prefix="256")
+    assert n == 2
+    np.testing.assert_array_equal(load(0), imgs[0])
+
+    cfg = load_config("configs/model/spgan.yaml")
+    cfg = dataclasses.replace(
+        cfg, data_params=dataclasses.replace(
+            cfg.data_params, source="lmdb", folder=d,
+            lmdb_key_prefix="128"))
+    from spgan_tpu.data.pipeline import make_data_source
+
+    n2, _ = make_data_source(cfg)
+    assert n2 == 2

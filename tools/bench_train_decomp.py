@@ -6,7 +6,9 @@ its constituent costs on the real chip:
     g_fwd_bwd    — + grad w.r.t. params_g (the G-phase autodiff cost)
     d_fwd        — discriminator forward on fake+real (two applies)
     d_fwd_bwd    — + grad w.r.t. params_d (the D-phase autodiff cost)
-    sample_taps  — SS offset tables + Pallas tap sampling alone
+    sample_taps  — offset-table construction + isolated Pallas tap
+                   sampling / skip tap-conv reads (an isolation probe; in
+                   the real step the sampling runs inside g_fwd/g_fwd_bwd)
     opt_ema      — both optax updates + EMA accumulate on zero grads
     base_step    — the real compiled step(do_r1=F, do_ppl=F) for reference
 
@@ -83,7 +85,11 @@ def main():
         ts_input_size=tp.ts_input_size, ss_unfold_size=tp.ss_unfold_size,
         mixing=tp.mixing)
     n_latent = g.ts.n_latent
-    use_sampler = g.ss is not None and jax.default_backend() == "tpu"
+    # the PRODUCTION gate/plan — shared with make_train_step so the pieces
+    # decompose the same program the step compiles
+    from spgan_tpu.train.step import training_sampler_plan
+
+    use_sampler, skip_sizes, skip_margins = training_sampler_plan(cfg, g)
 
     def sample_g_inputs(key, bsz):
         kgl, kll, kc, kidx, kn = jax.random.split(key, 5)
@@ -95,16 +101,6 @@ def main():
             coords = pair_inputs(coords)
         inject = jax.random.randint(kidx, (), 1, n_latent)
         return gl.astype(cdt), ll.astype(cdt), coords, acc, cp, inject, kn
-
-    skip_sizes, skip_margins = [], None
-    if use_sampler:
-        from spgan_tpu.geometry.sphere_grid import training_col_margin
-
-        cgrid = g.ss.coord_grid
-        skip_sizes = g.ts.skip_sizes()
-        skip_margins = [
-            training_col_margin(s, 3, cgrid.size_x, cgrid.size_y, 0.8)
-            for s in skip_sizes]
 
     def ss_tables(cp, ll):
         if not use_sampler:
@@ -167,13 +163,34 @@ def main():
 
     @jax.jit
     def sample_taps_only(params_g, key):
+        # offset-table construction AND the actual tap sampling / tap-conv
+        # reads, consumed into the output so nothing dead-code-eliminates:
+        # one Pallas tap sample per SS layer table (C=259, the feat+coords
+        # concat the real layers sample) and one tap-conv read per TS skip
         gl, ll, coords, acc, cp, inject, kn = sample_g_inputs(key, b)
-        tbls, _, _ = ss_tables(cp, ll)
+        tbls, tmode, skip_tbls = ss_tables(cp, ll)
         if tbls is None:
             return jnp.zeros(())
+        from spgan_tpu.ops.grid_sample import tap_conv_tables
+        from spgan_tpu.ops.pallas.sphere_sample import st_sample_taps
+
         total = jnp.zeros((), jnp.float32)
-        for t in jax.tree_util.tree_leaves(tbls):
-            total = total + jnp.sum(t.astype(jnp.float32))
+        for i, t in enumerate(tbls):
+            h = t["y0"].shape[1]
+            x = jax.random.normal(jax.random.fold_in(kn, i),
+                                  (b * (2 if g.use_div_z and
+                                        tp.diversity_dual else 1),
+                                   h, h, 259), cdt)
+            x = x[:t["y0"].shape[0]]
+            taps = st_sample_taps(x, t)
+            total = total + jnp.sum(taps.astype(jnp.float32))
+        w3 = jnp.ones((9, 3, 3), cdt)
+        for t, m in zip(skip_tbls, skip_margins):
+            h = t["y0"].shape[1]
+            z = jax.random.normal(jax.random.fold_in(kn, 100 + h),
+                                  (t["y0"].shape[0], h, h, 3), cdt)
+            total = total + jnp.sum(
+                tap_conv_tables(z, t, w3, margin=m).astype(jnp.float32))
         return total
 
     opt_g, opt_d = make_optimizers(cfg)

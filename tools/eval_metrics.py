@@ -42,7 +42,9 @@ enable_compilation_cache()
 
 
 def _load_set(path: str, n=None) -> np.ndarray:
-    """-> (N,H,W,3) float32 in [-1,1]."""
+    """-> (N,H,W,3) uint8 (0..255).  Kept integer until batch time: a
+    whole-set float32 copy at the documented --n 10000 scale would be tens
+    of GB; _batches normalizes per batch instead."""
     if path.endswith(".npy"):
         arr = np.load(path, mmap_mode="r")
         arr = np.asarray(arr[:n] if n else arr)
@@ -68,12 +70,18 @@ def _load_set(path: str, n=None) -> np.ndarray:
     else:
         raise SystemExit(f"unsupported image set {path!r} "
                          "(folder | .spr | .npy)")
-    return arr.astype(np.float32) / 127.5 - 1.0
+    assert arr.dtype == np.uint8, (
+        f"{path}: expected uint8 images (0..255), got {arr.dtype}")
+    return arr
+
+
+def _norm(b: np.ndarray) -> np.ndarray:
+    return b.astype(np.float32) / 127.5 - 1.0
 
 
 def _batches(arr: np.ndarray, batch: int):
     for i in range(0, arr.shape[0], batch):
-        yield arr[i:i + batch]
+        yield _norm(arr[i:i + batch])
 
 
 def _inception_params(args, with_logits=False):
@@ -146,8 +154,8 @@ def cmd_lpips(args):
     fn = jax.jit(spec.apply)
     vals = []
     for i in range(0, a.shape[0], args.batch):
-        d = fn(params, jnp.asarray(a[i:i + args.batch]),
-               jnp.asarray(b[i:i + args.batch]))
+        d = fn(params, jnp.asarray(_norm(a[i:i + args.batch])),
+               jnp.asarray(_norm(b[i:i + args.batch])))
         vals.append(np.asarray(d).reshape(-1))
     vals = np.concatenate(vals)
     return {"metric": "lpips", "value": float(vals.mean()),
