@@ -15,6 +15,7 @@ If the file is absent, vs_baseline is null rather than fabricated.
 """
 import json
 import os
+import sys
 import time
 
 
@@ -35,7 +36,7 @@ def main():
     params = g.init(jax.random.PRNGKey(0))
 
     # opt-out ablation knob (tools A/B; the driver runs plain `python bench.py`)
-    skip_tables = "--no-skip-tables" not in os.sys.argv
+    skip_tables = "--no-skip-tables" not in sys.argv
 
     plan = build_close_loop_plan(g, cfg.task.height, cfg.task.width)
     engine = PanoramaEngine(
@@ -43,15 +44,20 @@ def main():
         grid_partial=cfg.train_params.partial,
         compute_dtype="bfloat16", use_skip_tables=skip_tables)
 
-    # warmup / compile
+    # warmup / compile.  Completion barrier: fetch one scalar to the host —
+    # on the remote-attached axon runtime block_until_ready() returns EARLY
+    # (measured in tools/bench_sampler.py: "8 ms/iter" for a step whose math
+    # lower-bounds at ~50 ms); only value fetches are trustworthy.  The chip
+    # executes the chained programs in dispatch order, so one fetch of the
+    # last output bounds the whole loop.
     meta = engine.generate(params, jax.random.PRNGKey(1))
-    meta.block_until_ready()
+    float(meta[0, 0, 0, 0])
 
     iters = 5
     t0 = time.perf_counter()
     for i in range(iters):
         meta = engine.generate(params, jax.random.PRNGKey(2 + i))
-    meta.block_until_ready()
+    float(meta[0, 0, 0, 0])
     dt = time.perf_counter() - t0
 
     panos = iters * batch

@@ -49,12 +49,14 @@ def run(H, B, C=259, Cout=256, dtype=jnp.float32):
         return fused_sphere_conv(x, tables, w9)
 
     for name, fn in (("xla", xla_path), ("pallas", pallas_path)):
+        # value fetch as the completion barrier (block_until_ready returns
+        # early on the remote axon runtime — tools/bench_sampler.py)
         y = fn(x)
-        y.block_until_ready()
+        float(y.reshape(-1)[0])
         t0 = time.perf_counter()
         for _ in range(20):
             y = fn(x)
-        y.block_until_ready()
+        float(y.reshape(-1)[0])
         dt = (time.perf_counter() - t0) / 20
         print(f"H={H} B={B} {str(dtype.__name__ if hasattr(dtype,'__name__') else dtype):8s} {name:6s}: {dt*1000:7.2f} ms")
     # correctness on device
