@@ -48,7 +48,9 @@ def _to_grid(imgs: np.ndarray, ncol: int = 8) -> np.ndarray:
 
 def train(cfg: Config, debug: bool = False, seed: int = 0,
           max_iters: Optional[int] = None,
-          baseline_ckpt: Optional[str] = None) -> TrainState:
+          baseline_ckpt: Optional[str] = None,
+          profile_dir: Optional[str] = None, profile_start: int = 3,
+          profile_iters: int = 5) -> TrainState:
     tp = cfg.train_params
     exp_root = os.path.join(cfg.log_dir, cfg.exp_name)
 
@@ -224,9 +226,28 @@ def train(cfg: Config, debug: bool = False, seed: int = 0,
     # same way, train.py:300,399,438-452).  Device arrays only — never forced
     # outside a log tick, so the async dispatch pipeline is unaffected.
     reg_carry = {}
+    # --profile-dir: capture a jax.profiler device trace (XPlane, viewable in
+    # TensorBoard / xprof) of iterations [profile_start, profile_start +
+    # profile_iters) relative to the loop start.  This is the TPU-native
+    # equivalent of the reference's torch.cuda timing hooks (SURVEY §5
+    # tracing): the trace shows per-HLO device time, fusion boundaries and
+    # host<->device transfers for the real compiled step.
+    prof_on = False
     try:
         it = start_iter
         while it < total:
+            if profile_dir is not None:
+                done = it - start_iter
+                if not prof_on and done >= profile_start:
+                    jax.block_until_ready(state)  # exclude queued prior work
+                    jax.profiler.start_trace(profile_dir)
+                    prof_on = True
+                elif prof_on and done >= profile_start + profile_iters:
+                    jax.block_until_ready(state)  # include the traced steps
+                    jax.profiler.stop_trace()
+                    prof_on = False
+                    profile_dir = None
+                    print(" [*] Profiler trace written")
             k = min(k_steps, total - it)
             if k > 1:
                 batches = [next(pipeline) for _ in range(k)]
@@ -347,6 +368,10 @@ def train(cfg: Config, debug: bool = False, seed: int = 0,
                 f.write(traceback.format_exc() + "\n")
         raise
     finally:
+        if prof_on:  # loop left inside the window (end of run / exception)
+            jax.block_until_ready(state)
+            jax.profiler.stop_trace()
+            print(" [*] Profiler trace written (window truncated)")
         pipeline.close()
         if writer is not None:
             writer.close()

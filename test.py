@@ -62,6 +62,11 @@ def main():
     ap.add_argument("--clear-fid-cache", action="store_true",
                     help="remove the cached real-dataset FID statistics "
                          "(.fid-cache/) before running")
+    ap.add_argument("--profile-dir", default=None,
+                    help="capture a jax.profiler device trace (XPlane, for "
+                         "TensorBoard/xprof) of one generation batch — the "
+                         "second batch when more than one runs (the first "
+                         "pays compilation), else the only one")
     ap.add_argument("--debug", action="store_true")
     args = ap.parse_args()
 
@@ -167,7 +172,13 @@ def main():
     from spgan_tpu.infer.managers import save_image_batch
     from spgan_tpu.infer.testing_vars import TestingVars
 
+    profile_batch = None
+    if args.profile_dir is not None:
+        profile_batch = 1 if n_batches > 1 else 0
+
     for i in range(n_batches):
+        if i == profile_batch:
+            jax.profiler.start_trace(args.profile_dir)
         if cfg.task.seeds:
             # per-BATCH seeds: batch i is reproducible from PRNGKey(i)
             # regardless of how many batches ran before. (The reference's
@@ -206,6 +217,11 @@ def main():
                              write_gpu_time=args.speed_benchmark)
         if args.save_all_space and not args.speed_benchmark:
             manager.save_full_imgs()
+        if i == profile_batch:
+            # the save paths above fetch the meta image to the host, so the
+            # device work of this batch is inside the window
+            jax.profiler.stop_trace()
+            print(f" [*] Profiler trace written to {args.profile_dir}")
         if args.debug:
             break
 

@@ -22,6 +22,14 @@ def main():
                     help="multi-host: coordinator address host:port")
     ap.add_argument("--num-processes", type=int, default=None)
     ap.add_argument("--process-id", type=int, default=None)
+    ap.add_argument("--profile-dir", default=None,
+                    help="capture a jax.profiler device trace (XPlane, for "
+                         "TensorBoard/xprof) into this directory")
+    ap.add_argument("--profile-start", type=int, default=3,
+                    help="first traced iteration, relative to loop start "
+                         "(default 3: skips compile + warmup)")
+    ap.add_argument("--profile-iters", type=int, default=5,
+                    help="number of iterations in the trace window")
     args = ap.parse_args()
 
     from spgan_tpu.utils.cache import enable_compilation_cache
@@ -40,7 +48,8 @@ def main():
     if args.debug:
         cfg.train_params.batch_size = min(cfg.train_params.batch_size, 8)
     train(cfg, debug=args.debug, seed=args.seed, max_iters=args.max_iters,
-          baseline_ckpt=args.baseline_ckpt)
+          baseline_ckpt=args.baseline_ckpt, profile_dir=args.profile_dir,
+          profile_start=args.profile_start, profile_iters=args.profile_iters)
 
 
 if __name__ == "__main__":
