@@ -62,6 +62,12 @@ def main():
     ap.add_argument("--clear-fid-cache", action="store_true",
                     help="remove the cached real-dataset FID statistics "
                          "(.fid-cache/) before running")
+    ap.add_argument("--engine", default=None,
+                    choices=["folded", "sharded", "halo"],
+                    help="override task.engine: folded (single-device "
+                         "one-jit lattice), sharded (lattice positions "
+                         "shard_map'ed over the mesh), halo (width-sharded "
+                         "fields + ppermute halo ring)")
     ap.add_argument("--profile-dir", default=None,
                     help="capture a jax.profiler device trace (XPlane, for "
                          "TensorBoard/xprof) of one generation batch — the "
@@ -90,6 +96,8 @@ def main():
         cfg.task.num_gen = args.num_gen
     if args.override_save_idx is not None:
         cfg.task.init_index = args.override_save_idx
+    if args.engine is not None:
+        cfg.task.engine = args.engine
     seed = args.seed if args.seed is not None else cfg.task.seed
     manually_seed(seed)
 
