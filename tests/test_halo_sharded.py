@@ -38,3 +38,39 @@ def test_width_sharded_halo_exchange():
     assert out8.shape == (1, plan.meta_h, 3840, 3)
     assert np.isfinite(out8).all()
     np.testing.assert_array_equal(out8, out1)
+
+
+def test_halo_engine_via_manager(tmp_path):
+    """task.engine='halo' through the manager protocol (the test.py --engine
+    halo path): run_next must route to generate_width_sharded and save a
+    finite panorama of the target size."""
+    from spgan_tpu.infer.managers import CloseLoopPanoramaManager
+
+    cfg = Config()
+    tp = cfg.train_params
+    tp.global_latent_dim = 16
+    tp.local_latent_dim = 8
+    tp.channel_multiplier = 1
+    tp.n_mlp = 1
+    tp.ss_n_layers = 2
+    cfg.task.engine = "halo"
+    cfg.task.height = 128
+    cfg.task.width = 3840  # 40 lattice cols -> 5/device, fits the halo
+    cfg.task.batch_size = 1
+
+    g = Generator.from_config(cfg)
+    object.__setattr__(g.ts, "channel_base", 16)
+    params = g.init(jax.random.PRNGKey(0))
+
+    mgr = CloseLoopPanoramaManager(g=g, params_ema=params, config=cfg,
+                                   save_root=str(tmp_path / "out"))
+    mgr.task_specific_init(seed=17)
+    mgr.run_next(jax.random.PRNGKey(3))
+    import os
+
+    pngs = [f for f in os.listdir(tmp_path / "out") if f.endswith(".png")]
+    assert pngs == ["000000.png"]
+    from PIL import Image
+
+    img = np.asarray(Image.open(tmp_path / "out" / "000000.png"))
+    assert img.shape == (128, 3840, 3)
