@@ -29,6 +29,7 @@ def main():
     from spgan_tpu.infer.engine import PanoramaEngine
     from spgan_tpu.infer.stitcher import build_close_loop_plan
     from spgan_tpu.models.generator import Generator
+    from spgan_tpu.utils.misc import sync_fetch
 
     cfg = Config()
     batch = cfg.task.batch_size  # 16
@@ -44,20 +45,16 @@ def main():
         grid_partial=cfg.train_params.partial,
         compute_dtype="bfloat16", use_skip_tables=skip_tables)
 
-    # warmup / compile.  Completion barrier: fetch one scalar to the host —
-    # on the remote-attached axon runtime block_until_ready() returns EARLY
-    # (measured in tools/bench_sampler.py: "8 ms/iter" for a step whose math
-    # lower-bounds at ~50 ms); only value fetches are trustworthy.  The chip
-    # executes the chained programs in dispatch order, so one fetch of the
-    # last output bounds the whole loop.
+    # warmup / compile; sync_fetch = host value fetch, the only trustworthy
+    # completion barrier on the remote axon runtime (utils.misc.sync_fetch)
     meta = engine.generate(params, jax.random.PRNGKey(1))
-    float(meta[0, 0, 0, 0])
+    sync_fetch(meta)
 
     iters = 5
     t0 = time.perf_counter()
     for i in range(iters):
         meta = engine.generate(params, jax.random.PRNGKey(2 + i))
-    float(meta[0, 0, 0, 0])
+    sync_fetch(meta)
     dt = time.perf_counter() - t0
 
     panos = iters * batch

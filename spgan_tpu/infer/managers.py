@@ -180,9 +180,9 @@ class BaseManager:
         else:
             meta = self.engine.generate(self.params_ema, key)
         if write_gpu_time:
-            # value fetch, not block_until_ready: on the remote-attached axon
-            # runtime block_until_ready returns early (tools/bench_sampler.py)
-            float(meta.reshape(-1)[0])
+            from spgan_tpu.utils.misc import sync_fetch
+
+            sync_fetch(meta)  # host value fetch = the only reliable barrier
             dt = time.perf_counter() - t0
             self.accum_exec_times.append(dt)
             # per-day benchmark files next to the outputs (reference

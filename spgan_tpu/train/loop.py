@@ -231,23 +231,32 @@ def train(cfg: Config, debug: bool = False, seed: int = 0,
     # profile_iters) relative to the loop start.  This is the TPU-native
     # equivalent of the reference's torch.cuda timing hooks (SURVEY §5
     # tracing): the trace shows per-HLO device time, fusion boundaries and
-    # host<->device transfers for the real compiled step.
+    # host<->device transfers for the real compiled step.  Boundaries are
+    # checked between device dispatches, so with steps_per_call > 1 they
+    # snap to multiples of K; the actual window is printed.  Barriers are
+    # host value fetches, NOT block_until_ready (which returns early through
+    # the remote axon runtime — utils.misc.sync_fetch).
+    from spgan_tpu.utils.misc import sync_fetch
+
     prof_on = False
+    prof_started_at = None
     try:
         it = start_iter
         while it < total:
             if profile_dir is not None:
                 done = it - start_iter
                 if not prof_on and done >= profile_start:
-                    jax.block_until_ready(state)  # exclude queued prior work
+                    sync_fetch(state)  # exclude queued prior work
                     jax.profiler.start_trace(profile_dir)
                     prof_on = True
+                    prof_started_at = it
                 elif prof_on and done >= profile_start + profile_iters:
-                    jax.block_until_ready(state)  # include the traced steps
+                    sync_fetch(state)  # include the traced steps
                     jax.profiler.stop_trace()
                     prof_on = False
+                    print(f" [*] Profiler trace written: iterations "
+                          f"[{prof_started_at}, {it})")
                     profile_dir = None
-                    print(" [*] Profiler trace written")
             k = min(k_steps, total - it)
             if k > 1:
                 batches = [next(pipeline) for _ in range(k)]
@@ -369,9 +378,14 @@ def train(cfg: Config, debug: bool = False, seed: int = 0,
         raise
     finally:
         if prof_on:  # loop left inside the window (end of run / exception)
-            jax.block_until_ready(state)
+            sync_fetch(state)
             jax.profiler.stop_trace()
-            print(" [*] Profiler trace written (window truncated)")
+            print(f" [*] Profiler trace written (window truncated at "
+                  f"iteration {it})")
+        elif profile_dir is not None:
+            print(f" [!] Profiler window never opened: the loop ended at "
+                  f"iteration {it} before profile_start={profile_start} "
+                  f"(relative to start iter {start_iter}); no trace written")
         pipeline.close()
         if writer is not None:
             writer.close()

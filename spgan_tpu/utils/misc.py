@@ -40,6 +40,20 @@ def manually_seed(seed: int) -> None:
     np.random.seed(seed)
 
 
+def sync_fetch(tree: Any) -> float:
+    """Completion barrier: fetch ONE scalar of `tree` to the host and return
+    it.  On the remote-attached axon TPU runtime `block_until_ready()`
+    returns EARLY (measured in tools/bench_sampler.py: ~8 ms reported for a
+    step whose math lower-bounds at ~50 ms); a host value fetch is the only
+    trustworthy barrier.  The device executes chained programs in dispatch
+    order, so fetching one element of the LAST output bounds everything
+    dispatched before it.  Use this for every timing/trace boundary."""
+    import jax
+
+    leaf = jax.tree_util.tree_leaves(tree)[0]
+    return float(jax.numpy.ravel(leaf)[0])
+
+
 def backup_files(cur_dir: str, backup_dir: str,
                  exts=(".py", ".cc", ".yaml", ".yml")) -> int:
     """Snapshot source files into the experiment dir for reproducibility

@@ -184,54 +184,63 @@ def main():
     if args.profile_dir is not None:
         profile_batch = 1 if n_batches > 1 else 0
 
-    for i in range(n_batches):
-        if i == profile_batch:
-            jax.profiler.start_trace(args.profile_dir)
-        if cfg.task.seeds:
-            # per-BATCH seeds: batch i is reproducible from PRNGKey(i)
-            # regardless of how many batches ran before. (The reference's
-            # task.seeds computes seeds=range(num_gen) and assigns
-            # seed=seeds[iter_] per batch iteration without ever using it —
-            # test.py:77-83; this keys the batch RNG instead, which is the
-            # evidently intended behavior.)
-            k = jax.random.PRNGKey(i)
-        else:
-            key, k = jax.random.split(key)
-        if inter_ckpt_paths is not None:
-            tv = TestingVars.load(inter_ckpt_paths[i])
-            out = manager.generate_with_vars(tv)
-            cropped = np.asarray(manager.engine.crop_to_target(out))
-            save_image_batch(cropped, save_root, manager.cur_global_id)
-            manager.cur_global_id += cropped.shape[0]
-        elif inv_records is not None:
-            tv = manager.create_vars(k)
-            tv.replace_by_records(manager.engine.plan, inv_records,
-                                  placements)
-            out = manager.generate_with_vars(tv)
-            cropped = np.asarray(manager.engine.crop_to_target(out))
-            save_image_batch(cropped, save_root, manager.cur_global_id)
-            manager.cur_global_id += cropped.shape[0]
-        elif args.dump_vars:
-            tv = manager.create_vars(k)
-            out = manager.generate_with_vars(tv)
-            os.makedirs(save_root, exist_ok=True)
-            tv.save(os.path.join(save_root,
-                                 f"{manager.cur_global_id:06d}_vars.npz"))
-            cropped = np.asarray(manager.engine.crop_to_target(out))
-            save_image_batch(cropped, save_root, manager.cur_global_id)
-            manager.cur_global_id += cropped.shape[0]
-        else:
-            manager.run_next(k, save=not args.speed_benchmark,
-                             write_gpu_time=args.speed_benchmark)
-        if args.save_all_space and not args.speed_benchmark:
-            manager.save_full_imgs()
-        if i == profile_batch:
-            # the save paths above fetch the meta image to the host, so the
-            # device work of this batch is inside the window
+    prof_on = False
+    try:
+        for i in range(n_batches):
+            if i == profile_batch:
+                jax.profiler.start_trace(args.profile_dir)
+                prof_on = True
+            if cfg.task.seeds:
+                # per-BATCH seeds: batch i is reproducible from PRNGKey(i)
+                # regardless of how many batches ran before. (The reference's
+                # task.seeds computes seeds=range(num_gen) and assigns
+                # seed=seeds[iter_] per batch iteration without ever using it —
+                # test.py:77-83; this keys the batch RNG instead, which is the
+                # evidently intended behavior.)
+                k = jax.random.PRNGKey(i)
+            else:
+                key, k = jax.random.split(key)
+            if inter_ckpt_paths is not None:
+                tv = TestingVars.load(inter_ckpt_paths[i])
+                out = manager.generate_with_vars(tv)
+                cropped = np.asarray(manager.engine.crop_to_target(out))
+                save_image_batch(cropped, save_root, manager.cur_global_id)
+                manager.cur_global_id += cropped.shape[0]
+            elif inv_records is not None:
+                tv = manager.create_vars(k)
+                tv.replace_by_records(manager.engine.plan, inv_records,
+                                      placements)
+                out = manager.generate_with_vars(tv)
+                cropped = np.asarray(manager.engine.crop_to_target(out))
+                save_image_batch(cropped, save_root, manager.cur_global_id)
+                manager.cur_global_id += cropped.shape[0]
+            elif args.dump_vars:
+                tv = manager.create_vars(k)
+                out = manager.generate_with_vars(tv)
+                os.makedirs(save_root, exist_ok=True)
+                tv.save(os.path.join(save_root,
+                                     f"{manager.cur_global_id:06d}_vars.npz"))
+                cropped = np.asarray(manager.engine.crop_to_target(out))
+                save_image_batch(cropped, save_root, manager.cur_global_id)
+                manager.cur_global_id += cropped.shape[0]
+            else:
+                manager.run_next(k, save=not args.speed_benchmark,
+                                 write_gpu_time=args.speed_benchmark)
+            if args.save_all_space and not args.speed_benchmark:
+                manager.save_full_imgs()
+            if i == profile_batch:
+                # the save paths above fetch the meta image to the host, so the
+                # device work of this batch is inside the window
+                jax.profiler.stop_trace()
+                prof_on = False
+                print(f" [*] Profiler trace written to {args.profile_dir}")
+            if args.debug:
+                break
+    finally:
+        if prof_on:
+            # the traced batch raised (or was interrupted): close the
+            # trace so the partial XPlane file is still written
             jax.profiler.stop_trace()
-            print(f" [*] Profiler trace written to {args.profile_dir}")
-        if args.debug:
-            break
 
     if args.speed_benchmark:
         mean, std = manager.get_exec_time_stats()

@@ -48,15 +48,15 @@ def run(H, B, C=259, Cout=256, dtype=jnp.float32):
     def pallas_path(x):
         return fused_sphere_conv(x, tables, w9)
 
+    from spgan_tpu.utils.misc import sync_fetch
+
     for name, fn in (("xla", xla_path), ("pallas", pallas_path)):
-        # value fetch as the completion barrier (block_until_ready returns
-        # early on the remote axon runtime — tools/bench_sampler.py)
         y = fn(x)
-        float(y.reshape(-1)[0])
+        sync_fetch(y)  # host value fetch = the only reliable barrier
         t0 = time.perf_counter()
         for _ in range(20):
             y = fn(x)
-        float(y.reshape(-1)[0])
+        sync_fetch(y)
         dt = (time.perf_counter() - t0) / 20
         print(f"H={H} B={B} {str(dtype.__name__ if hasattr(dtype,'__name__') else dtype):8s} {name:6s}: {dt*1000:7.2f} ms")
     # correctness on device

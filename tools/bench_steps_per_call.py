@@ -33,6 +33,7 @@ def main():
     from spgan_tpu.models.generator import Generator
     from spgan_tpu.train.state import create_train_state
     from spgan_tpu.train.step import make_train_step_many
+    from spgan_tpu.utils.misc import sync_fetch
 
     args = sys.argv[1:]
     cfg_path = args[0] if args else "configs/model/spgan_run5k.yaml"
@@ -61,16 +62,14 @@ def main():
         ppls = (False,) * k
         state, m = step_many(state0, patches, acs, key,
                              do_r1=r1s, do_ppl=ppls)
-        # value fetch as the completion barrier (block_until_ready returns
-        # early through the remote axon runtime — tools/bench_sampler.py)
-        float(jax.tree_util.tree_leaves(m)[0])
+        sync_fetch(m)  # host value fetch = the only reliable barrier
         outer = max(1, 16 // k)  # ~16 iterations per timed window
         t0 = time.perf_counter()
         for j in range(outer):
             state, m = step_many(state, patches, acs,
                                  jax.random.fold_in(key, j),
                                  do_r1=r1s, do_ppl=ppls)
-        float(jax.tree_util.tree_leaves(m)[0])
+        sync_fetch(m)
         dt = (time.perf_counter() - t0) / (outer * k)
         print(f"K={k}: {dt*1000:7.2f} ms/iter ({1/dt:5.2f} it/s, "
               f"batch {tp.batch_size}, {outer} calls timed)")

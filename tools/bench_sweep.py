@@ -15,14 +15,13 @@ params = g.init(jax.random.PRNGKey(0))
 plan = build_close_loop_plan(g, 384, 768)
 eng = PanoramaEngine(g=g, plan=plan, batch=16, patch_chunk=chunk,
                      grid_partial=cfg.train_params.partial, compute_dtype=dt_)
-# completion barrier: scalar value fetch (block_until_ready returns early
-# on the remote axon runtime — tools/bench_sampler.py)
+from spgan_tpu.utils.misc import sync_fetch  # the only reliable barrier
 t0=time.perf_counter()
-m = eng.generate(params, jax.random.PRNGKey(1)); float(m[0,0,0,0])
+m = eng.generate(params, jax.random.PRNGKey(1)); sync_fetch(m)
 print(f"compile+1st: {time.perf_counter()-t0:.1f}s")
 t0=time.perf_counter()
 for i in range(4):
     m = eng.generate(params, jax.random.PRNGKey(2+i))
-float(m[0,0,0,0])
+sync_fetch(m)
 dt = time.perf_counter()-t0
 print(f"chunk={chunk} dtype={dt_}: {4*16/dt:.3f} panos/s ({dt/4/16*1000:.1f} ms/pano)")

@@ -22,17 +22,16 @@ rng = np.random.RandomState(0)
 real = shard_batch(jnp.asarray(rng.randn(tp.batch_size, 101, 101, 3).astype(np.float32)), mesh)
 ac = shard_batch(jnp.asarray(rng.uniform(-1, 1, (tp.batch_size, 3)).astype(np.float32)), mesh)
 step = make_train_step(cfg, g, d)
+from spgan_tpu.utils.misc import sync_fetch  # the only reliable barrier
+
 for name, r1, ppl in (("plain", False, False), ("r1", True, False), ("r1+ppl", True, True)):
-    # value fetch as the completion barrier: block_until_ready returns early
-    # through the remote runtime (tools/bench_sampler.py), and async-chain
-    # timing under-reports (measured 5ms/iter "async" vs 240ms/iter real)
     t0 = time.perf_counter()
     s2, m = step(state, real, ac, jax.random.PRNGKey(1), do_r1=r1, do_ppl=ppl)
-    float(jax.tree_util.tree_leaves(m)[0])
+    sync_fetch(m)
     print(f"{name}: compile+1st {time.perf_counter()-t0:.1f}s")
     t0 = time.perf_counter()
     for i in range(10):
         s2, m = step(s2, real, ac, jax.random.PRNGKey(2+i), do_r1=r1, do_ppl=ppl)
-        float(jax.tree_util.tree_leaves(m)[0])
+        sync_fetch(m)
     dt = (time.perf_counter()-t0)/10
     print(f"{name}: {dt*1000:.1f} ms/iter ({1/dt:.2f} it/s, batch {tp.batch_size})")

@@ -36,10 +36,9 @@ import jax.numpy as jnp
 
 
 def _force(out):
-    # block_until_ready returns EARLY through the remote axon runtime
-    # (.claude/skills/verify) — fetching a scalar to the host is the only
-    # trustworthy completion barrier
-    return float(jax.tree_util.tree_leaves(out)[0])
+    from spgan_tpu.utils.misc import sync_fetch
+
+    return sync_fetch(out)  # host value fetch = the only reliable barrier
 
 
 def timeit(fn, *args, iters=20, **kw):

@@ -30,6 +30,8 @@ def find_xspace(trace_dir: str) -> str:
 
 
 def main():
+    if len(sys.argv) < 2:
+        raise SystemExit(__doc__.strip())
     trace_dir = sys.argv[1]
     top_n = int(sys.argv[2]) if len(sys.argv) > 2 else 15
     xspace = find_xspace(trace_dir)
@@ -38,6 +40,8 @@ def main():
 
     def tool_rows(tool):
         data, _ = raw_to_tool_data.xspace_to_tool_data([xspace], tool, {})
+        if data is None:  # converter failure (truncated/corrupt trace)
+            return []
         if isinstance(data, bytes):
             data = data.decode("utf-8", "replace")
         tables = json.loads(data)
