@@ -77,6 +77,27 @@ def test_lpips_cli_self_is_zero(image_sets):
     assert out2["value"] > 0.0
 
 
+def test_stats_precompute_roundtrip(image_sets, tmp_path, monkeypatch):
+    """`stats` saves {mu, sigma, n}; `fid` accepts the .pkl in place of a
+    set (reference calc_inception.py __main__ + the .fid-cache reuse in
+    libs/fid.py:217-244).  PRNGKey(0) random weights are deterministic
+    across invocations, so stats(a) vs images(a) must still give FID 0."""
+    pa, pb, folder, _ = image_sets
+    pkl = str(tmp_path / "a_stats.pkl")
+    out = main(["stats", pa, "--batch", "4", "--out", pkl,
+                "--allow-random-weights"])
+    assert out["n"] == 8 and os.path.isfile(pkl)
+    out2 = main(["fid", pkl, folder, "--batch", "4",
+                 "--allow-random-weights"])
+    assert out2["value"] == pytest.approx(0.0, abs=1e-2)
+    assert out2["n_a"] == 8
+    # two precomputed sides never build the network -> no weights needed
+    monkeypatch.delenv("SPGAN_TPU_INCEPTION", raising=False)
+    out3 = main(["fid", pkl, pkl])
+    assert out3["value"] == pytest.approx(0.0, abs=1e-6)
+    assert out3["real_weights"]  # nothing random was involved
+
+
 def test_missing_weights_is_loud(image_sets, monkeypatch):
     pa, pb, _, _ = image_sets
     monkeypatch.delenv("SPGAN_TPU_INCEPTION", raising=False)

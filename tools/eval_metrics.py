@@ -18,6 +18,12 @@ extraction on the attached accelerator.
     python tools/eval_metrics.py lpips SET_A SET_B \
         --alex alexnet.pth --lin lpips_v0.1_alex.pth
 
+    # precompute inception stats once (reference libs/calc_inception.py
+    # __main__:76-116 saves {mean,cov} pkl; fid accepts the .pkl in place
+    # of either set, like the reference's .fid-cache reuse, libs/fid.py:217-244)
+    python tools/eval_metrics.py stats SET --out real_stats.pkl
+    python tools/eval_metrics.py fid real_stats.pkl GEN_SET
+
 SET = a folder of images | a packed .spr record file | a (N,H,W,3) .npy.
 Inception weights resolve from --inception or $SPGAN_TPU_INCEPTION (the
 same pytorch-fid checkpoint train-time FID uses, train/evals.py).
@@ -104,17 +110,45 @@ def _inception_params(args, with_logits=False):
         jax.random.PRNGKey(0)), False
 
 
+def _set_stats(path, args, ev_box):
+    """FIDStats for `path`: loaded directly when it is a precomputed .pkl,
+    else extracted through inception.  ev_box lazily holds the evaluator so
+    the network is only built (and weights only required) when at least one
+    side is a raw image set."""
+    from spgan_tpu.evalkit.fid import FIDStats
+
+    if path.endswith(".pkl"):
+        return FIDStats.load(path), True
+    if ev_box[0] is None:
+        from spgan_tpu.evalkit.fid import FIDEvaluator
+
+        params, real_w = _inception_params(args)
+        ev_box[0] = (FIDEvaluator(params), real_w)
+    ev, real_w = ev_box[0]
+    return ev.stats_from_batches(
+        _batches(_load_set(path, args.n), args.batch)), real_w
+
+
 def cmd_fid(args):
-    from spgan_tpu.evalkit.fid import FIDEvaluator, frechet_distance
+    from spgan_tpu.evalkit.fid import frechet_distance
+
+    ev_box = [None]
+    sa, wa = _set_stats(args.set_a, args, ev_box)
+    sb, wb = _set_stats(args.set_b, args, ev_box)
+    return {"metric": "fid", "value": frechet_distance(sa, sb),
+            "n_a": int(sa.n), "n_b": int(sb.n),
+            "real_weights": wa and wb}
+
+
+def cmd_stats(args):
+    from spgan_tpu.evalkit.fid import FIDEvaluator
 
     params, real_w = _inception_params(args)
     ev = FIDEvaluator(params)
-    a = _load_set(args.set_a, args.n)
-    b = _load_set(args.set_b, args.n)
-    sa = ev.stats_from_batches(_batches(a, args.batch))
-    sb = ev.stats_from_batches(_batches(b, args.batch))
-    return {"metric": "fid", "value": frechet_distance(sa, sb),
-            "n_a": int(sa.n), "n_b": int(sb.n),
+    s = ev.stats_from_batches(
+        _batches(_load_set(args.set_a, args.n), args.batch))
+    s.save(args.out)
+    return {"metric": "inception_stats", "out": args.out, "n": int(s.n),
             "real_weights": real_w}
 
 
@@ -166,7 +200,8 @@ def cmd_lpips(args):
 def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__)
     sub = ap.add_subparsers(dest="cmd", required=True)
-    for name, two_sets in (("fid", True), ("is", False), ("lpips", True)):
+    for name, two_sets in (("fid", True), ("is", False), ("lpips", True),
+                           ("stats", False)):
         p = sub.add_parser(name)
         p.add_argument("set_a")
         if two_sets:
@@ -175,15 +210,19 @@ def main(argv=None):
                        help="cap the number of images per set")
         p.add_argument("--batch", type=int, default=50)
         p.add_argument("--allow-random-weights", action="store_true")
-        if name in ("fid", "is"):
+        if name in ("fid", "is", "stats"):
             p.add_argument("--inception", default=None)
         if name == "is":
             p.add_argument("--splits", type=int, default=1)
         if name == "lpips":
             p.add_argument("--alex", default=None)
             p.add_argument("--lin", default=None)
+        if name == "stats":
+            p.add_argument("--out", required=True,
+                           help="output pickle path ({mu, sigma, n})")
     args = ap.parse_args(argv)
-    out = {"fid": cmd_fid, "is": cmd_is, "lpips": cmd_lpips}[args.cmd](args)
+    out = {"fid": cmd_fid, "is": cmd_is, "lpips": cmd_lpips,
+           "stats": cmd_stats}[args.cmd](args)
     if not out.get("real_weights", True):
         out["WARNING"] = "random network weights — value is meaningless"
     print(json.dumps(out))
