@@ -243,20 +243,12 @@ def train(cfg: Config, debug: bool = False, seed: int = 0,
     try:
         it = start_iter
         while it < total:
-            if profile_dir is not None:
-                done = it - start_iter
-                if not prof_on and done >= profile_start:
-                    sync_fetch(state)  # exclude queued prior work
-                    jax.profiler.start_trace(profile_dir)
-                    prof_on = True
-                    prof_started_at = it
-                elif prof_on and done >= profile_start + profile_iters:
-                    sync_fetch(state)  # include the traced steps
-                    jax.profiler.stop_trace()
-                    prof_on = False
-                    print(f" [*] Profiler trace written: iterations "
-                          f"[{prof_started_at}, {it})")
-                    profile_dir = None
+            if (profile_dir is not None and not prof_on
+                    and it - start_iter >= profile_start):
+                sync_fetch(state)  # exclude queued prior work
+                jax.profiler.start_trace(profile_dir)
+                prof_on = True
+                prof_started_at = it
             k = min(k_steps, total - it)
             if k > 1:
                 batches = [next(pipeline) for _ in range(k)]
@@ -285,6 +277,17 @@ def train(cfg: Config, debug: bool = False, seed: int = 0,
                                          do_r1=do_r1, do_ppl=do_ppl)
                 had_r1, had_ppl = do_r1, do_ppl
                 it += 1
+            if (prof_on
+                    and it - start_iter >= profile_start + profile_iters):
+                # close the window right after the traced step — BEFORE the
+                # log/vis/save ticks below and before a possible loop exit,
+                # so the trace covers exactly the requested iterations
+                sync_fetch(state)  # include the traced steps
+                jax.profiler.stop_trace()
+                prof_on = False
+                print(f" [*] Profiler trace written: iterations "
+                      f"[{prof_started_at}, {it})")
+                profile_dir = None
             if had_r1:
                 reg_carry["r1"] = metrics["r1"]
             if had_ppl:
@@ -377,11 +380,19 @@ def train(cfg: Config, debug: bool = False, seed: int = 0,
                 f.write(traceback.format_exc() + "\n")
         raise
     finally:
-        if prof_on:  # loop left inside the window (end of run / exception)
-            sync_fetch(state)
-            jax.profiler.stop_trace()
-            print(f" [*] Profiler trace written (window truncated at "
-                  f"iteration {it})")
+        if prof_on:  # loop left inside the window (exception / debug break)
+            try:  # the barrier itself can raise on a poisoned device —
+                # never let it mask the propagating exception or skip the
+                # pipeline/writer cleanup below
+                sync_fetch(state)
+            except Exception:
+                pass
+            try:
+                jax.profiler.stop_trace()
+                print(f" [*] Profiler trace written (window truncated at "
+                      f"iteration {it})")
+            except Exception:
+                pass
         elif profile_dir is not None:
             print(f" [!] Profiler window never opened: the loop ended at "
                   f"iteration {it} before profile_start={profile_start} "

@@ -41,17 +41,30 @@ def manually_seed(seed: int) -> None:
 
 
 def sync_fetch(tree: Any) -> float:
-    """Completion barrier: fetch ONE scalar of `tree` to the host and return
-    it.  On the remote-attached axon TPU runtime `block_until_ready()`
-    returns EARLY (measured in tools/bench_sampler.py: ~8 ms reported for a
-    step whose math lower-bounds at ~50 ms); a host value fetch is the only
-    trustworthy barrier.  The device executes chained programs in dispatch
-    order, so fetching one element of the LAST output bounds everything
-    dispatched before it.  Use this for every timing/trace boundary."""
+    """Completion barrier: fetch one scalar PER DEVICE SHARD of `tree`'s
+    first leaf to the host and return the last one.  On the remote-attached
+    axon TPU runtime `block_until_ready()` returns EARLY (measured in
+    tools/bench_sampler.py: ~8 ms reported for a step whose math
+    lower-bounds at ~50 ms); a host value fetch is the only trustworthy
+    barrier.  Each device executes chained programs in dispatch order, so
+    fetching one element of the LAST output dispatched to a device bounds
+    everything dispatched before it ON THAT DEVICE — a sharded value (e.g.
+    a width-sharded panorama lattice) therefore needs one fetch per
+    addressable shard, not one global element (which only covers the shard
+    that owns it).  Use this for every timing/trace boundary."""
     import jax
 
     leaf = jax.tree_util.tree_leaves(tree)[0]
-    return float(jax.numpy.ravel(leaf)[0])
+    shards = getattr(leaf, "addressable_shards", None)
+    if not shards:  # numpy / non-jax leaf: nothing in flight
+        import numpy as np
+
+        return float(np.ravel(np.asarray(leaf))[0])
+    val = 0.0
+    for s in shards:  # s.data is committed to one device; the tiny
+        # ravel()[0] program runs there and its fetch drains that queue
+        val = float(jax.numpy.ravel(s.data)[0])
+    return val
 
 
 def backup_files(cur_dir: str, backup_dir: str,

@@ -64,6 +64,24 @@ def test_train_loop_profile_window(tmp_path, monkeypatch):
     assert int(state.step) == 4
     assert _xplanes(trace), "no XPlane trace written by the train loop"
 
+    # window abutting the end of the run: [1, 3) with max_iters=3 must close
+    # cleanly (NOT report truncation — regression: the old top-of-loop stop
+    # check could only fire on a later pass that never happened)
+    import io
+    from contextlib import redirect_stdout
+
+    trace2 = str(tmp_path / "trace2")
+    cfg.exp_name = "prof2"  # fresh exp dir: don't resume from the first run
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        state2 = train(cfg, seed=0, max_iters=3, profile_dir=trace2,
+                       profile_start=1, profile_iters=2)
+    assert int(state2.step) == 3
+    assert _xplanes(trace2)
+    out = buf.getvalue()
+    assert "truncated" not in out, out
+    assert "[1, 3)" in out, out
+
 
 def test_cli_profile_dir(tmp_path):
     """test.py --profile-dir wraps one generation batch in a trace."""

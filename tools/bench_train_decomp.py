@@ -37,10 +37,7 @@ import jax
 import jax.numpy as jnp
 
 
-def _force(out):
-    # block_until_ready returns EARLY through the remote axon runtime —
-    # fetching a scalar is the only trustworthy completion barrier
-    return float(jax.tree_util.tree_leaves(out)[0])
+from spgan_tpu.utils.misc import sync_fetch as _force
 
 
 def timeit(fn, *args, iters=20, **kw):
