@@ -36,7 +36,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _kernel(y0_ref, y1_ref, wy_ref, sx_ref, fx_ref, x_ref, w_ref, o_ref,
-            row_scratch, s_scratch, acc_scratch, *, H, W, M, K2, C, Cout):
+            row_scratch, s_scratch, acc_scratch, *, H, W, M, K2, C, Cout,
+            mxu_bf16):
     # refs (leading block dim of 1 squeezed by indexing [0])
     for t in range(K2):  # static unroll over taps
         def row_body(r, _):
@@ -58,6 +59,12 @@ def _kernel(y0_ref, y1_ref, wy_ref, sx_ref, fx_ref, x_ref, w_ref, o_ref,
 
         jax.lax.fori_loop(0, H, row_body, 0)
         st = s_scratch[:].reshape(H * W, C)
+        if mxu_bf16:
+            # bf16 inputs: round the staged taps back to bf16 so the MXU
+            # runs single-pass (the f32 staging exists only because Mosaic
+            # cannot shape-cast bf16 tiles); this reproduces the XLA gather
+            # path's numerics, which samples and convolves in bf16 directly
+            st = st.astype(jnp.bfloat16)
         contrib = jnp.dot(st, w_ref[t], preferred_element_type=jnp.float32)
         if t == 0:
             acc_scratch[:] = contrib
@@ -68,7 +75,7 @@ def _kernel(y0_ref, y1_ref, wy_ref, sx_ref, fx_ref, x_ref, w_ref, o_ref,
 
 def _kernel_grouped(y0_ref, y1_ref, wy_ref, sx_ref, fx_ref, x_ref, w_ref,
                     o_ref, row_scratch, s_scratch, acc_scratch,
-                    *, H, Hb, W, M, K2, C, Cout):
+                    *, H, Hb, W, M, K2, C, Cout, mxu_bf16):
     hb = pl.program_id(1)
     Bg = row_scratch.shape[1]
     for t in range(K2):  # static unroll over taps
@@ -91,6 +98,8 @@ def _kernel_grouped(y0_ref, y1_ref, wy_ref, sx_ref, fx_ref, x_ref, w_ref,
         # (Hb*W, Bg, C) -> (Hb*W*Bg, C): Bg == the f32 sublane tile (8), so
         # collapsing the untiled leading dims into it is a physical no-op
         st = s_scratch[:].reshape(Hb * W * Bg, C)
+        if mxu_bf16:
+            st = st.astype(jnp.bfloat16)  # single-pass MXU (see _kernel)
         contrib = jnp.dot(st, w_ref[t], preferred_element_type=jnp.float32)
         if t == 0:
             acc_scratch[:] = contrib
@@ -170,8 +179,9 @@ def fused_sphere_conv_grouped(x: jnp.ndarray, tables: dict, w9: jnp.ndarray,
     n_hb = (H + Hb - 1) // Hb
     Hpad = n_hb * Hb
 
-    kern = functools.partial(_kernel_grouped, H=H, Hb=Hb, W=W, M=M, K2=K2,
-                             C=C, Cout=Cout)
+    kern = functools.partial(
+        _kernel_grouped, H=H, Hb=Hb, W=W, M=M, K2=K2, C=C, Cout=Cout,
+        mxu_bf16=(x.dtype == jnp.bfloat16 and w9.dtype == jnp.bfloat16))
     spec_t = pl.BlockSpec((1, H, K2), lambda g, h: (g, 0, 0),
                           memory_space=pltpu.SMEM)
     out = pl.pallas_call(
@@ -220,7 +230,9 @@ def fused_sphere_conv(x: jnp.ndarray, tables: dict, w9: jnp.ndarray,
     # out of bounds; geometrically |dx| << margin for real configs)
     sx = jnp.clip(tables["sx"], -M, M - 1)
 
-    kern = functools.partial(_kernel, H=H, W=W, M=M, K2=K2, C=C, Cout=Cout)
+    kern = functools.partial(
+        _kernel, H=H, W=W, M=M, K2=K2, C=C, Cout=Cout,
+        mxu_bf16=(x.dtype == jnp.bfloat16 and w9.dtype == jnp.bfloat16))
     grid = (B,)
     out = pl.pallas_call(
         kern,
