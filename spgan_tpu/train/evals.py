@@ -15,9 +15,25 @@ from spgan_tpu.models.latents import LatentSampler
 
 def _inception_params():
     """Load real inception weights if SPGAN_TPU_INCEPTION points at a
-    pytorch-fid checkpoint; else None (FID skipped)."""
+    pytorch-fid checkpoint; else None (FID skipped).
+
+    SPGAN_TPU_INCEPTION=random is an explicit plumbing-only escape: random
+    inception weights so the full FID tick (generation, feature extraction,
+    stats cache, Frechet) runs in environments without the pytorch-fid
+    checkpoint.  The resulting FID VALUES are meaningless and a loud warning
+    says so."""
     path = os.environ.get("SPGAN_TPU_INCEPTION")
-    if not path or not os.path.exists(path):
+    if not path:
+        return None
+    if path == "random":
+        import jax as _jax
+
+        from spgan_tpu.evalkit.inception import InceptionV3FID
+
+        print(" [!] SPGAN_TPU_INCEPTION=random: FID plumbing runs with "
+              "RANDOM inception weights — values are meaningless.")
+        return InceptionV3FID().init(_jax.random.PRNGKey(0))
+    if not os.path.exists(path):
         return None
     from spgan_tpu.evalkit.inception import load_torch_inception
 

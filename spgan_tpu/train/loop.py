@@ -216,7 +216,35 @@ def train(cfg: Config, debug: bool = False, seed: int = 0,
                                             include_full=True),
                 inception_params=fid_eval.inception_params, ext2=True)
 
+    # best-FID values persist across resume in a sidecar next to the ckpts
+    # (the reference carries best_fid/best_ext2_fid inside the ckpt dict,
+    # train.py:627-639,690-717)
     best_fid = float("inf")
+    best_ext2_fid = float("inf")
+    best_ext2_fid_later = float("inf")
+    best_path = os.path.join(exp_root, "ckpt", "best.json") \
+        if not debug else None
+    if best_path is not None and os.path.exists(best_path):
+        import json
+
+        with open(best_path) as f:
+            _b = json.load(f)
+        best_fid = _b.get("best_fid", best_fid)
+        best_ext2_fid = _b.get("best_ext2_fid", best_ext2_fid)
+        best_ext2_fid_later = _b.get("best_ext2_fid_later",
+                                     best_ext2_fid_later)
+
+    def _write_best():
+        import json
+
+        with open(best_path, "w") as f:
+            json.dump({"best_fid": best_fid, "best_ext2_fid": best_ext2_fid,
+                       "best_ext2_fid_later": best_ext2_fid_later}, f)
+
+    # TB event files are partitioned into chunks for efficient rsync of
+    # long runs (reference train.py:35,724-726: TB_PARTITION_STEPS=100000
+    # close+reopen, which starts a fresh event file)
+    TB_PARTITION_STEPS = 100_000
     total = tp.iter if max_iters is None else min(tp.iter, max_iters)
     lp = cfg.log_params
     t_last = time.time()
@@ -366,6 +394,7 @@ def train(cfg: Config, debug: bool = False, seed: int = 0,
 
                     save_best(os.path.join(exp_root, "ckpt"), "best_fid",
                               jax.device_get(state))
+                    _write_best()
 
             if (fid_ext2_eval is not None and it % lp.fid_ext2_tick == 0
                     and it > 0):
@@ -373,6 +402,29 @@ def train(cfg: Config, debug: bool = False, seed: int = 0,
                                      jax.random.fold_in(base_key, it + 1))
                 if writer is not None:
                     writer.add_scalar("metric/fid_ext2", fid2, it)
+                # best-EXT2-FID snapshot + the late-training (>600k iters)
+                # per-iteration variant (reference train.py:690-717)
+                if ckpt_mgr is not None:
+                    from spgan_tpu.train.checkpoint import save_best
+
+                    if fid2 < best_ext2_fid:
+                        best_ext2_fid = fid2
+                        save_best(os.path.join(exp_root, "ckpt"),
+                                  "best_fid_ext2", jax.device_get(state))
+                        _write_best()
+                    if it > 600_000 and fid2 < best_ext2_fid_later:
+                        best_ext2_fid_later = fid2
+                        save_best(os.path.join(exp_root, "ckpt"),
+                                  f"best_fid_ext2_{it}",
+                                  jax.device_get(state))
+                        _write_best()
+
+            if (writer is not None and it > start_iter
+                    and it % TB_PARTITION_STEPS == 0):
+                writer.close()
+                from tensorboardX import SummaryWriter
+
+                writer = SummaryWriter(os.path.join(exp_root, "tb"))
     except Exception:
         if not debug:
             os.makedirs(exp_root, exist_ok=True)
