@@ -49,6 +49,9 @@ class TrainParams:
     local_latent_dim: int = 256
     n_mlp: int = 8
     channel_multiplier: int = 2
+    # uniform D width scale: channels AND the 512-wide head linears are
+    # round()-scaled (reference stylegan2discriminator.py:117-121)
+    d_extra_multiplier: float = 1.0
 
     # structure synthesizer
     use_ss: bool = True

@@ -122,6 +122,10 @@ class Discriminator:
     use_coord_ac: bool = True
     coord_num_dir: int = 3
     linear_ch: int = 512
+    # d_extra_multiplier: per-resolution channels are round()-scaled AFTER
+    # the channel_multiplier (reference stylegan2discriminator.py:117-121);
+    # linear_ch is scaled by from_config the same way (:114-116)
+    extra_multiplier: float = 1.0
     use_coord_pd: bool = False
     coord_pd_w: float = 0.0
     coord_pd_hori_only: bool = False
@@ -133,6 +137,8 @@ class Discriminator:
         tp = cfg.train_params
         return cls(patch_size=tp.patch_size,
                    channel_multiplier=tp.channel_multiplier,
+                   linear_ch=round(512 * tp.d_extra_multiplier),
+                   extra_multiplier=tp.d_extra_multiplier,
                    batch_size=tp.batch_size,
                    use_coord_ac=tp.coord_use_ac,
                    coord_num_dir=tp.coord_num_dir,
@@ -155,9 +161,13 @@ class Discriminator:
 
     def channels(self) -> dict:
         cm = self.channel_multiplier
-        return {4: 512, 8: 512, 16: 512, 32: 512, 64: 256 * cm,
+        base = {4: 512, 8: 512, 16: 512, 32: 512, 64: 256 * cm,
                 128: 128 * cm, 256: 64 * cm, 512: 32 * cm, 1024: 16 * cm,
                 2048: 8 * cm}
+        if self.extra_multiplier != 1.0:
+            base = {k: round(v * self.extra_multiplier)
+                    for k, v in base.items()}
+        return base
 
     @property
     def log_size(self) -> int:
@@ -209,6 +219,20 @@ class Discriminator:
                 EqualLinear(lc, lc).init(kp2),
             ]
         return params
+
+    def r1_graph_mask(self, params: dict) -> dict:
+        """Per-leaf torch-Adam activity mask for the R1 phase.
+
+        The reference's R1 backward runs through `r1/2 * r1_loss * reg +
+        0 * d_patch[0]` (train.py:306): every parameter in the d_patch
+        graph gets a gradient TENSOR (zero for the additive biases) and is
+        stepped by torch-Adam (count increment + moment decay), while the
+        coord-AC head — absent from that graph — keeps grad None and is
+        skipped entirely.  Used with train.state.torch_adam(active=...)."""
+        return {
+            k: jax.tree_util.tree_map(lambda _: k != "coord_linear", v)
+            for k, v in params.items()
+        }
 
     def apply(self, params: dict, img: jnp.ndarray,
               ac_coords: jnp.ndarray = None,

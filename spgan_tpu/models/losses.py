@@ -62,11 +62,18 @@ def grad_reduce(grad: jnp.ndarray) -> jnp.ndarray:
     return jnp.sqrt(jnp.square(grad).mean(axes))
 
 
-def ppl_lengths(key: jax.Array, synth_fn, styles: jnp.ndarray) -> jnp.ndarray:
-    """Path length per sample: synth_fn(styles) -> image (B,H,W,3)."""
+def ppl_lengths(key: jax.Array, synth_fn, styles: jnp.ndarray,
+                noise: jnp.ndarray = None) -> jnp.ndarray:
+    """Path length per sample: synth_fn(styles) -> image (B,H,W,3).
+
+    `noise` overrides the sampled perturbation image (already including the
+    1/sqrt(H*W) scale) — used by the training-step oracle to replay the
+    reference's exact draw (reference losses.py:60-68)."""
     img, vjp = jax.vjp(synth_fn, styles)
-    h, w = img.shape[1], img.shape[2]
-    noise = jax.random.normal(key, img.shape, img.dtype) / math.sqrt(h * w)
+    if noise is None:
+        h, w = img.shape[1], img.shape[2]
+        noise = (jax.random.normal(key, img.shape, img.dtype)
+                 / math.sqrt(h * w))
     (g,) = vjp(noise)
     return grad_reduce(g)
 

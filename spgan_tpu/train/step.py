@@ -197,7 +197,16 @@ def _build_step(cfg: Config, g: Generator, d: Discriminator,
 
             (_, r1_val), r1_grads = jax.value_and_grad(
                 r1_loss_fn, has_aux=True)(params_d)
-            upd, opt_d_state = opt_d.update(r1_grads, opt_d_state, params_d)
+            if tp.optimizer != "sgd":
+                # torch-Adam graph-membership semantics for the R1 phase
+                # (reference train.py:306 `+ 0*compute_node`): see
+                # Discriminator.r1_graph_mask
+                upd, opt_d_state = opt_d.update(
+                    r1_grads, opt_d_state, params_d,
+                    active=d.r1_graph_mask(params_d))
+            else:
+                upd, opt_d_state = opt_d.update(r1_grads, opt_d_state,
+                                                params_d)
             if freeze_d:
                 upd = jax.tree_util.tree_map(jnp.zeros_like, upd)
             params_d = optax.apply_updates(params_d,
