@@ -58,14 +58,34 @@ def compute_stats(feature_batches: Iterable[np.ndarray]) -> FIDStats:
 
 
 def frechet_distance(a: FIDStats, b: FIDStats, eps: float = 1e-6) -> float:
+    """Reference libs/fid.py:135-155 semantics: sqrtm with disp=False (no
+    LinAlgWarning print; singularity is expected — n_fid_sample <= 2048
+    features in 2048-d make sigma rank-deficient by construction), the
+    eps-offset retry only when the result is non-finite, and a loud raise
+    when the square root comes back with a non-negligible imaginary
+    diagonal (atol 1e-3) instead of silently taking .real."""
+    import warnings
+
     from scipy import linalg
 
+    def sqrtm_quiet(m):
+        # scipy's disp= kwarg (what the reference passes) is deprecated;
+        # the equivalent is suppressing the expected singular-matrix
+        # LinAlgWarning around the plain call
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore", linalg.LinAlgWarning)
+            return linalg.sqrtm(m)
+
     diff = a.mu - b.mu
-    covmean = linalg.sqrtm(a.sigma @ b.sigma)
+    covmean = sqrtm_quiet(a.sigma @ b.sigma)
     if not np.isfinite(covmean).all():
         offset = np.eye(a.sigma.shape[0]) * eps
-        covmean = linalg.sqrtm((a.sigma + offset) @ (b.sigma + offset))
+        covmean = sqrtm_quiet((a.sigma + offset) @ (b.sigma + offset))
     if np.iscomplexobj(covmean):
+        if not np.allclose(np.diagonal(covmean).imag, 0, atol=1e-3):
+            raise ValueError(
+                "cov sqrt has imaginary component "
+                f"{np.max(np.abs(covmean.imag))}")
         covmean = covmean.real
     return float(diff @ diff + np.trace(a.sigma) + np.trace(b.sigma)
                  - 2 * np.trace(covmean))

@@ -45,6 +45,30 @@ def test_fid_stats_and_distance():
     assert frechet_distance(a, shifted) == pytest.approx(16.0, rel=1e-3)
 
 
+def test_fid_rank_deficient_stats():
+    """n < d stats — the shape production FID actually runs (n_fid_sample
+    2048 features in 2048-d give sigma rank n-1 < d, so sigma_a @ sigma_b
+    is ALWAYS singular).  The disp=False sqrtm path (reference
+    libs/fid.py:139) must return a finite, symmetric-sane value with no
+    LinAlgWarning, and identical stats must still give ~0."""
+    import warnings
+
+    rng = np.random.RandomState(7)
+    d, n = 256, 100  # rank 99 << 256: much harsher than production
+    a = compute_stats([rng.randn(n // 2, d), rng.randn(n - n // 2, d)])
+    b = compute_stats([rng.randn(n, d) * 1.1 + 0.05])
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # ANY warning -> failure
+        fid_ab = frechet_distance(a, b)
+        fid_aa = frechet_distance(a, a)
+    assert np.isfinite(fid_ab) and fid_ab > 0, fid_ab
+    # identical rank-deficient stats: sqrtm(sigma^2) == sigma exactly in
+    # the PSD sense, so the distance collapses to ~0 despite singularity
+    assert abs(fid_aa) < 1e-3, fid_aa
+    # symmetry of the metric under argument swap
+    assert frechet_distance(b, a) == pytest.approx(fid_ab, rel=1e-6)
+
+
 def test_fid_cache(tmp_path, inception):
     spec, params = inception
     from spgan_tpu.evalkit.fid import FIDEvaluator
