@@ -62,8 +62,11 @@ def _kernel(y0_ref, y1_ref, wy_ref, sx_ref, fx_ref, x_ref, w_ref, o_ref,
         if mxu_bf16:
             # bf16 inputs: round the staged taps back to bf16 so the MXU
             # runs single-pass (the f32 staging exists only because Mosaic
-            # cannot shape-cast bf16 tiles); this reproduces the XLA gather
-            # path's numerics, which samples and convolves in bf16 directly
+            # cannot shape-cast bf16 tiles).  This APPROXIMATES the XLA tap
+            # path (taps rounded to bf16 entering the MXU), not bit parity:
+            # XLA lerps in bf16 and accumulates per-tap contributions in
+            # bf16, while this kernel lerps in f32, rounds once, and
+            # accumulates taps in f32 — strictly less rounding error.
             st = st.astype(jnp.bfloat16)
         contrib = jnp.dot(st, w_ref[t], preferred_element_type=jnp.float32)
         if t == 0:
@@ -148,11 +151,15 @@ def fused_sphere_conv_grouped(x: jnp.ndarray, tables: dict, w9: jnp.ndarray,
     # f32 add per element.
     Hb_est = min(8, H)
     Wp_est = W + 2 * M
+    mxu_bf16 = x.dtype == jnp.bfloat16 and w9.dtype == jnp.bfloat16
     vmem = (2 * H * Wp_est * Bg * C * x.dtype.itemsize
             + 2 * Hb_est * W * Bg * Cout * x.dtype.itemsize
             + 4 * (Wp_est * Bg * C + Hb_est * W * Bg * C
                    + Hb_est * W * Bg * Cout)
-            + 2 * K2 * C * Cout * w9.dtype.itemsize)
+            + 2 * K2 * C * Cout * w9.dtype.itemsize
+            # the in-kernel bf16 round of the staged taps materializes one
+            # extra (Hb*W*Bg, C) bf16 temporary before each MXU call
+            + (2 * Hb_est * W * Bg * C if mxu_bf16 else 0))
     if vmem > 14 * 1024 * 1024 and C % 2 == 0 and C // 2 >= 128:
         half = C // 2
         return (fused_sphere_conv_grouped(

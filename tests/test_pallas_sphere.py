@@ -17,21 +17,29 @@ def _conv_stride3(x, w):
         dimension_numbers=("NHWC", "HWIO", "NHWC"))
 
 
+@pytest.mark.parametrize("dtype", ["float32", "bfloat16"])
 @pytest.mark.parametrize("hw,circ", [(35, 0.0), (17, 1.0), (29, 0.0)])
-def test_fused_kernel_matches_xla_path(hw, circ, rng):
+def test_fused_kernel_matches_xla_path(hw, circ, dtype, rng):
     H = W = hw
     C, Cout, B = 16, 8, 2
-    x = jnp.asarray(rng.randn(B, H, W, C).astype(np.float32))
-    w = jnp.asarray(rng.randn(3, 3, C, Cout).astype(np.float32) * 0.1)
+    dt = jnp.dtype(dtype)
+    x = jnp.asarray(rng.randn(B, H, W, C).astype(np.float32)).astype(dt)
+    w = jnp.asarray(rng.randn(3, 3, C, Cout).astype(np.float32)
+                    * 0.1).astype(dt)
 
     args = dict(p_x_st=0.1, p_x_ed=0.65, p_y_st=0.3, p_y_ed=0.85,
                 circular=circ, grid_partial=0.6667)
     kw = dict(h=H, w=W, k=3, x_total=65, y_total=48)
 
-    # XLA reference: grid sample + stride-3 conv
+    # XLA reference: grid sample + stride-3 conv (in the SAME dtype — for
+    # bf16 this is the bf16 XLA tap/gather path the kernel approximates by
+    # rounding the f32-lerped taps to bf16 entering the MXU)
     grid = sphere_patch_grid(args["p_x_st"], args["p_x_ed"], args["p_y_st"],
                              args["p_y_ed"], args["circular"],
                              args["grid_partial"], **kw)
+    # grid stays f32: positions must floor() into the same cells as the
+    # kernel's f32 offset tables; the lerp WEIGHTS are cast to x.dtype
+    # inside bilinear_grid_sample, giving the bf16 XLA tap semantics
     sampled = bilinear_grid_sample(x, jnp.tile(grid[None], (B, 1, 1, 1)))
     want = _conv_stride3(sampled, w)
 
@@ -43,8 +51,17 @@ def test_fused_kernel_matches_xla_path(hw, circ, rng):
     w9 = w.reshape(9, C, Cout)
     got = fused_sphere_conv(x, tables, w9, interpret=True)
 
-    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
-                               atol=2e-4, rtol=1e-4)
+    assert got.dtype == dt
+    if dt == jnp.bfloat16:
+        # bf16: the kernel rounds once after an f32 lerp and accumulates
+        # taps in f32, the XLA path lerps and accumulates in bf16 — agree
+        # only to bf16 resolution (eps ~ 7.8e-3, 9*16-term dot products)
+        np.testing.assert_allclose(np.asarray(got, np.float32),
+                                   np.asarray(want, np.float32),
+                                   atol=0.15, rtol=0.05)
+    else:
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=2e-4, rtol=1e-4)
 
 
 def test_offset_tables_reconstruct_grid(rng):
@@ -72,18 +89,23 @@ def test_offset_tables_reconstruct_grid(rng):
                 np.testing.assert_allclose(row_px[0], dx, atol=1e-4)
 
 
-def test_grouped_kernel_matches_per_sample(rng):
+@pytest.mark.parametrize("dtype", ["float32", "bfloat16"])
+def test_grouped_kernel_matches_per_sample(dtype, rng):
     """fused_sphere_conv_grouped (lattice-engine fast path: one offset table
     shared by all panoramas folded at a lattice position) is bit-identical
     to the per-sample kernel with the table repeated, including the Bg>8
-    subgroup normalization path."""
+    subgroup normalization path.  Parametrized over f32 AND bf16: both
+    kernels perform the identical per-element op sequence (f32 lerp, one
+    bf16 round, f32 tap accumulation), so bit-identity must hold in bf16
+    too — this pins the mxu_bf16 branch."""
     from spgan_tpu.ops.pallas.sphere_kernel import (
         fused_sphere_conv, fused_sphere_conv_grouped)
 
+    dt = jnp.dtype(dtype)
     G, Bg, H, W, C, Cout, K2 = 2, 16, 13, 11, 16, 24, 9
     B = G * Bg
-    x = jnp.asarray(rng.randn(B, H, W, C).astype(np.float32))
-    w9 = jnp.asarray(rng.randn(K2, C, Cout).astype(np.float32))
+    x = jnp.asarray(rng.randn(B, H, W, C).astype(np.float32)).astype(dt)
+    w9 = jnp.asarray(rng.randn(K2, C, Cout).astype(np.float32)).astype(dt)
     tg = {
         "y0": jnp.asarray(rng.randint(0, H, (G, H, K2)).astype(np.int32)),
         "wy": jnp.asarray(rng.rand(G, H, K2).astype(np.float32)),
