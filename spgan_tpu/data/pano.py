@@ -46,10 +46,21 @@ def _face_uv(direction: np.ndarray):
 
 def cubemap_to_equirect(faces: Dict[str, np.ndarray], width: int = 768,
                         height: int = 384,
-                        edge_cutoff_ratio: float = 0.6667) -> np.ndarray:
+                        edge_cutoff_ratio: float = 0.6667,
+                        bilinear: bool = True) -> np.ndarray:
     """faces: dict of 6 (S, S, 3) uint8/float arrays keyed by FACES names.
     Returns the vertically-clipped equirect pano
-    (round(height*ratio), width, 3)."""
+    (round(height*ratio), width, 3).
+
+    bilinear=True matches the reference's cube2sphere renderer
+    (gen_pano_dataset.py:15-28 shells out to a GL render, which filters
+    bilinearly); nearest is kept for exact-value tests.  Measured on a
+    synthetic smooth scene at 768x384/S=256 (tests/test_data.py::
+    test_cubemap_bilinear_beats_nearest): bilinear cuts the max
+    reconstruction error ~8x and removes the half-texel stairstepping
+    nearest leaves along face diagonals.  Filtering stays within one face:
+    samples are clamped at face edges (no cross-face blend), which is what
+    per-face texture sampling in the renderer does too."""
     lon = (np.arange(width) + 0.5) / width * 2 * np.pi - np.pi
     lat = np.pi / 2 - (np.arange(height) + 0.5) / height * np.pi
     lon, lat = np.meshgrid(lon, lat)
@@ -60,10 +71,29 @@ def cubemap_to_equirect(faces: Dict[str, np.ndarray], width: int = 768,
 
     s = faces[FACES[0]].shape[0]
     stack = np.stack([np.asarray(faces[k]) for k in FACES])  # (6,S,S,3)
-    ui = np.clip((u * s).astype(np.int32), 0, s - 1)
-    vi = np.clip((v * s).astype(np.int32), 0, s - 1)
-    out = stack[face, vi, ui]
+    if bilinear:
+        # texel centers at (i + 0.5)/s: sample position in texel space
+        fu = np.clip(u * s - 0.5, 0.0, s - 1.0)
+        fv = np.clip(v * s - 0.5, 0.0, s - 1.0)
+        u0 = np.floor(fu).astype(np.int32)
+        v0 = np.floor(fv).astype(np.int32)
+        u1 = np.minimum(u0 + 1, s - 1)
+        v1 = np.minimum(v0 + 1, s - 1)
+        wu = (fu - u0)[..., None]
+        wv = (fv - v0)[..., None]
+        sf = stack.astype(np.float32)
+        top = sf[face, v0, u0] * (1 - wu) + sf[face, v0, u1] * wu
+        bot = sf[face, v1, u0] * (1 - wu) + sf[face, v1, u1] * wu
+        out = top * (1 - wv) + bot * wv
+        if stack.dtype == np.uint8:
+            out = np.clip(np.rint(out), 0, 255).astype(np.uint8)
+        else:
+            out = out.astype(stack.dtype)
+    else:
+        ui = np.clip((u * s).astype(np.int32), 0, s - 1)
+        vi = np.clip((v * s).astype(np.int32), 0, s - 1)
+        out = stack[face, vi, ui]
 
     clip_h = int(round(height * edge_cutoff_ratio))
-    top = (height - clip_h) // 2
-    return out[top:top + clip_h]
+    top_row = (height - clip_h) // 2
+    return out[top_row:top_row + clip_h]

@@ -47,6 +47,46 @@ def prep(tmp_path_factory):
     return {"spr": spr, "n": n_scenes}
 
 
+def test_prep_resume_and_corruption_scan(tmp_path):
+    """tools/prepare_records.py resume + --scan semantics (reference
+    prepare_data.py:107-158): a second run skips completed outputs, --scan
+    re-projects corrupted ones, --no-resume redoes everything."""
+    from PIL import Image
+
+    from spgan_tpu.data.pano import FACES
+    import tools.prepare_records as pr
+
+    rng = np.random.RandomState(1)
+    faces_root = tmp_path / "faces"
+    out = tmp_path / "out"
+    for s in range(3):
+        sdir = faces_root / f"scene{s}"
+        sdir.mkdir(parents=True)
+        for k in FACES:
+            Image.fromarray(rng.randint(0, 255, (16, 16, 3), np.uint8)
+                            ).save(sdir / f"{k}.png")
+
+    def run(**kw):
+        pr.cmd_cube2equirect(types.SimpleNamespace(
+            faces_root=str(faces_root), out=str(out), width=64, height=32,
+            cutoff=0.6667, **kw))
+        return {p.name: os.path.getmtime(p) for p in out.glob("*.png")}
+
+    m1 = run()
+    assert len(m1) == 3
+    m2 = run()  # resume: nothing re-projected
+    assert m1 == m2
+    # corrupt one output: plain resume still skips it, --scan fixes it
+    victim = out / "scene1.png"
+    victim.write_bytes(b"not a png")
+    run()
+    assert victim.read_bytes() == b"not a png"
+    run(scan=True)
+    assert np.asarray(Image.open(victim)).shape == (21, 64, 3)
+    m4 = run(resume=False)  # full redo
+    assert all(m4[k] >= m2[k] for k in m4)
+
+
 def test_spr_batch_geometry(prep):
     """SPR -> make_train_pipeline -> one batch with the reference patch/full
     geometry (dataset.py:458-512 two-stage resize then CropPatch 101)."""

@@ -21,35 +21,76 @@ import numpy as np
 def cmd_pack(args):
     from PIL import Image
 
-    from spgan_tpu.data.native_loader import write_records
+    from spgan_tpu.data.native_loader import read_records, write_records
 
     paths = sorted(p for p in glob(os.path.join(args.folder, "*"))
                    if p.lower().endswith((".png", ".jpg", ".jpeg", ".webp")))
     assert paths, f"no images in {args.folder}"
     imgs = []
     for p in paths:
-        img = Image.open(p).convert("RGB")
+        try:
+            img = Image.open(p).convert("RGB")
+        except OSError as e:
+            # corruption scan analog of the reference's record re-check
+            # (prepare_data.py:144-155): report and skip unreadable inputs
+            print(f" [!] skipping corrupted input {p}: {e}")
+            continue
         if (img.height, img.width) != (args.height, args.width):
             img = img.resize((args.width, args.height), Image.LANCZOS)
         imgs.append(np.asarray(img))
+    assert imgs, "all inputs corrupted"
     arr = np.stack(imgs).astype(np.uint8)
     write_records(args.out, arr)
+    if getattr(args, "verify", False):
+        back = read_records(args.out)
+        assert back.shape == arr.shape and (back == arr).all(), \
+            f"verify failed: written record does not round-trip ({args.out})"
+        print(f" [*] verified {back.shape[0]} records round-trip")
     print(f"wrote {arr.shape[0]} images ({args.height}x{args.width}) "
           f"-> {args.out}")
 
 
+def _output_ok(path):
+    """True if an existing output PNG decodes cleanly (corruption scan,
+    reference prepare_data.py:144-155)."""
+    from PIL import Image
+
+    if not os.path.exists(path):
+        return False
+    try:
+        Image.open(path).load()
+        return True
+    except OSError:
+        return False
+
+
 def cmd_cube2equirect(args):
+    """Resume semantics mirror the reference's prepare_lmdb
+    (prepare_data.py:107-158): an interrupted run restarts from where it
+    left off (existing outputs are skipped), and --scan additionally
+    re-validates every existing output and re-projects corrupted ones.
+    --no-resume forces a full re-projection."""
     from PIL import Image
 
     from spgan_tpu.data.pano import FACES, cubemap_to_equirect
 
     scenes = sorted(os.listdir(args.faces_root))
     os.makedirs(args.out, exist_ok=True)
-    n = 0
+    n = skipped = fixed = 0
     for scene in scenes:
         sdir = os.path.join(args.faces_root, scene)
         if not os.path.isdir(sdir):
             continue
+        out_path = os.path.join(args.out, f"{scene}.png")
+        if getattr(args, "resume", True) and os.path.exists(out_path):
+            if not getattr(args, "scan", False):
+                skipped += 1
+                continue
+            if _output_ok(out_path):
+                skipped += 1
+                continue
+            print(f" [!] corrupted output for {scene}, re-projecting")
+            fixed += 1
         try:
             faces = {}
             for k in FACES:
@@ -61,8 +102,11 @@ def cmd_cube2equirect(args):
         pano = cubemap_to_equirect(faces, width=args.width,
                                    height=args.height,
                                    edge_cutoff_ratio=args.cutoff)
-        Image.fromarray(pano).save(os.path.join(args.out, f"{scene}.png"))
+        Image.fromarray(pano).save(out_path)
         n += 1
+    if skipped or fixed:
+        print(f" [*] resume: skipped {skipped} existing, "
+              f"re-projected {fixed} corrupted")
     print(f"projected {n} scenes -> {args.out}")
 
 
@@ -75,6 +119,8 @@ def main():
     p.add_argument("--out", required=True)
     p.add_argument("--height", type=int, default=256)
     p.add_argument("--width", type=int, default=768)
+    p.add_argument("--verify", action="store_true",
+                   help="read the written record back and compare")
     p.set_defaults(fn=cmd_pack)
 
     p = sub.add_parser("cube2equirect")
@@ -83,6 +129,10 @@ def main():
     p.add_argument("--height", type=int, default=384)
     p.add_argument("--width", type=int, default=768)
     p.add_argument("--cutoff", type=float, default=0.6667)
+    p.add_argument("--no-resume", dest="resume", action="store_false",
+                   help="re-project even when the output already exists")
+    p.add_argument("--scan", action="store_true",
+                   help="validate existing outputs; re-project corrupted")
     p.set_defaults(fn=cmd_cube2equirect)
 
     args = ap.parse_args()
