@@ -40,6 +40,15 @@ def main():
     ap.add_argument("out", nargs="?", default="/tmp/spgan_reference_pano.npz")
     ap.add_argument("--height", type=int, default=384)
     ap.add_argument("--width", type=int, default=768)
+    ap.add_argument("--planar", action="store_true",
+                    help="attempt the PLANAR InfiniteGenerationManager "
+                         "(test_managers/infinite_generation.py:25-208). "
+                         "NOTE: this CRASHES by reference design — the "
+                         "planar manager passes override_coords without "
+                         "coords_partial_override and the SP-GAN coord "
+                         "handler asserts (coord_handler.py:1071); see "
+                         "tests/test_pano_parity.py::"
+                         "test_planar_manager_reference_incompatible")
     args = ap.parse_args()
 
     random.seed(0)
@@ -48,25 +57,36 @@ def main():
 
     config = gf.make_config(full_size=False, ss_mapping=False)
     config.train_params.batch_size = 1
+    manager_path = (
+        "test_managers.infinite_generation.InfiniteGenerationManager"
+        if args.planar else
+        "test_managers.close_loop_infinite_generation."
+        "InfiniteGenerationManagerPatchCoordsCloseLoop")
     config.task = EasyDict(
-        task_manager="test_managers.close_loop_infinite_generation."
-                     "InfiniteGenerationManagerPatchCoordsCloseLoop",
+        task_manager=manager_path,
         interactive=False, seed=9000,
         height=args.height, width=args.width,
         batch_size=1, num_gen=1, lowres_height=128)
     config.var = EasyDict(dataparallel=False, exp_name="golden_pano")
 
     from models.spgan import spgan as spgan_mod
-    from test_managers.close_loop_infinite_generation import (
-        InfiniteGenerationManagerPatchCoordsCloseLoop)
 
     g_ema = spgan_mod.InfinityGanGenerator(config)
     g_ema.eval()
 
     save_root = "/tmp/golden_pano_out"
     os.makedirs(save_root, exist_ok=True)
-    manager = InfiniteGenerationManagerPatchCoordsCloseLoop(
-        g_ema, "cpu", save_root, config)
+    if args.planar:
+        from test_managers.infinite_generation import (
+            InfiniteGenerationManager)
+
+        manager = InfiniteGenerationManager(g_ema, "cpu", save_root, config)
+    else:
+        from test_managers.close_loop_infinite_generation import (
+            InfiniteGenerationManagerPatchCoordsCloseLoop)
+
+        manager = InfiniteGenerationManagerPatchCoordsCloseLoop(
+            g_ema, "cpu", save_root, config)
     manager.task_specific_init()
 
     torch.manual_seed(9000)
