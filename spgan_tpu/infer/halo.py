@@ -12,8 +12,16 @@ Notes:
   * Only the `num_steps_w_min` base columns are computed.  The reference's
     two extra wrap columns produce bit-identical patches to base columns 0/1
     (tests/test_stitcher.py), so base-only assembly yields the same panorama.
+  * Lattice columns need NOT divide the device count: non-divisible widths
+    are padded with wrapped columns (equal shards), the device-0 halo send
+    is offset to the true wrap position, and duplicates are dropped before
+    assembly (bit-identity pinned in tests/test_halo_sharded.py).
   * Patches return sharded over the lattice dim; the meta image is assembled
-    on host in the reference's row-major overwrite order.
+    on host in the reference's row-major overwrite order.  (The folded and
+    sharded engines scatter on device — engine.py — and are preferred when
+    the fields fit; this path exists for fields that exceed one device.)
+  * Sampling uses the grid path (no tap-table/Pallas variants here yet);
+    see ops/pallas/sphere_kernel.py for the single-device fast paths.
 """
 from __future__ import annotations
 
@@ -41,13 +49,25 @@ def generate_width_sharded(g: Generator, params, plan: LatticePlan,
     win = plan.window
     nw = plan.num_steps_w_min
     nh = plan.num_steps_h
-    assert nw % ndev == 0, f"lattice columns {nw} must divide over {ndev} devices"
-    cols_per_dev = nw // ndev
+    # pad + drop (VERDICT r3 next-round #5): when the lattice columns do
+    # not divide over the devices, the cylindrical fields are extended by
+    # `pad` WRAPPED columns (copies of columns 0..pad-1 — bit-identical by
+    # the close-loop wrap property) so every device holds an equal shard;
+    # the duplicate patches are dropped before assembly.
+    cols_per_dev = -(-nw // ndev)  # ceil
+    nw_pad = cols_per_dev * ndev
+    pad = nw_pad - nw
     shard_w = cols_per_dev * zx
     halo_z = win - zx
-    assert shard_w >= halo_z, (
-        f"shard width {shard_w} latent cols < halo {halo_z}; use a wider "
-        f"panorama or fewer devices")
+    # device 0 sends its halo from offset pad*zx (the TRUE columns that
+    # follow the last device's padded shard), so both the halo and that
+    # offset must fit inside one shard; and a padded column's window must
+    # not cross the seam (its cp would need circular=True, which the
+    # wrapped-index algebra below correctly produces only for base cols)
+    assert pad * zx + halo_z <= shard_w, (
+        f"shard width {shard_w} latent cols < halo {halo_z} + wrap offset "
+        f"{pad * zx}; use a wider panorama or fewer devices")
+    assert pad * zx + win <= plan.y_total, (pad, win, plan.y_total)
 
     out_sizes = plan.geom.outfeat_sizes
     out_steps = plan.geom.outfeat_steps
@@ -65,6 +85,16 @@ def generate_width_sharded(g: Generator, params, plan: LatticePlan,
               for i, (h, w) in enumerate(plan.noise_sizes)]
     coords_field = jnp.asarray(
         g.ss.coord_grid.test_field(plan.z_field_h, plan.z_field_w))
+
+    if pad:
+        # extend every cylindrical field with wrap copies of its start so
+        # the padded lattice columns reproduce base columns 0..pad-1
+        z_field = jnp.concatenate([z_field, z_field[:, :, :pad * zx]],
+                                  axis=2)
+        noises = [jnp.concatenate([n, n[:, :, :pad * ostep]], axis=2)
+                  for n, ostep in zip(noises, out_steps)]
+        coords_field = jnp.concatenate(
+            [coords_field, coords_field[:, :pad * zx]], axis=1)
 
     shard = NamedSharding(mesh, P(None, None, axis))
     z_field = jax.device_put(z_field, shard)
@@ -85,14 +115,24 @@ def generate_width_sharded(g: Generator, params, plan: LatticePlan,
             jax.lax.ppermute, axis_name=axis,
             perm=[(i, (i - 1) % ndev) for i in range(ndev)])
 
+        def halo_from_right(arr, width, axis_dim, wrap_off):
+            # each device SENDS the slice its left neighbor needs.  With
+            # padding, the last device's halo is not device 0's shard
+            # start but the TRUE columns at offset pad*step (the columns
+            # following the padded field end, mod the circle) — so device
+            # 0 sends from `wrap_off`, everyone else from 0.
+            off = jnp.where(dev == 0, wrap_off, 0)
+            sl = jax.lax.dynamic_slice_in_dim(arr, off, width, axis=axis_dim)
+            return right(sl)
+
         # SS padding ring from the right neighbor (circular)
-        z_halo = right(z_local[:, :, :halo_z])
+        z_halo = halo_from_right(z_local, halo_z, 2, pad * zx)
         z_ext = jnp.concatenate([z_local, z_halo], axis=2)
-        c_halo = right(coords_local[:, :halo_z])
+        c_halo = halo_from_right(coords_local, halo_z, 1, pad * zx)
         c_ext = jnp.concatenate([coords_local, c_halo], axis=1)
         n_ext = []
         for n, osz, ostep in zip(noises_local, out_sizes, out_steps):
-            h = right(n[:, :, :osz - ostep])
+            h = halo_from_right(n, osz - ostep, 2, pad * ostep)
             n_ext.append(jnp.concatenate([n, h], axis=2))
 
         styles = g.build_styles(params, gl, None)
@@ -165,11 +205,14 @@ def generate_width_sharded(g: Generator, params, plan: LatticePlan,
     patches = jax.jit(fn)(params, gl, z_field, coords_field, *noises)
     patches = jax.device_get(patches)  # (nh*nw ordered dev-major)
 
-    # reorder device-major (dev, i, jl) -> row-major (i, j_global)
+    # reorder device-major (dev, i, jl) -> row-major (i, j_global), then
+    # drop the padded wrap columns (duplicates of base columns 0..pad-1)
     patches = patches.reshape(ndev, nh, cols_per_dev, batch,
                               patch_sz, patch_sz, 3)
     patches = patches.transpose(1, 0, 2, 3, 4, 5, 6).reshape(
-        nh * nw, batch, patch_sz, patch_sz, 3)
+        nh, nw_pad, batch, patch_sz, patch_sz, 3)
+    patches = patches[:, :nw].reshape(nh * nw, batch,
+                                      patch_sz, patch_sz, 3)
 
     # host assembly, reference overwrite order over base columns
     meta = np.zeros((batch, plan.meta_h, plan.meta_w, 3), np.float32)
