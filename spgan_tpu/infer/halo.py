@@ -71,6 +71,13 @@ def generate_width_sharded(g: Generator, params, plan: LatticePlan,
 
     out_sizes = plan.geom.outfeat_sizes
     out_steps = plan.geom.outfeat_steps
+    # per-layer noise-field halos must satisfy the same bound as the latent
+    # one (dynamic_slice clamps silently, which would corrupt, not crash)
+    for _osz, _ostep in zip(out_sizes, out_steps):
+        assert pad * _ostep + (_osz - _ostep) <= cols_per_dev * _ostep, (
+            f"noise level size {_osz} step {_ostep}: halo {_osz - _ostep} + "
+            f"wrap offset {pad * _ostep} exceeds shard width "
+            f"{cols_per_dev * _ostep}; use a wider panorama or fewer devices")
     patch_sz = out_sizes[-1]
     cdt = jnp.bfloat16 if compute_dtype == "bfloat16" else jnp.float32
 

@@ -10,9 +10,25 @@ from __future__ import annotations
 import os
 from typing import Optional, Tuple
 
+import jax
 import orbax.checkpoint as ocp
 
 from spgan_tpu.train.state import TrainState
+
+
+class CheckpointLayoutError(RuntimeError):
+    """A checkpoint's pytree layout does not match the current TrainState.
+
+    The usual cause is a code change to the optimizer state layout (e.g. the
+    round-4 switch from optax.adam's shared count to torch_adam's per-leaf
+    counts) making older checkpoints non-restorable.  Raised instead of the
+    raw Orbax tree error so resume failures name the actual problem
+    (reference resume robustness: train.py:922-951)."""
+
+
+def _keypaths(tree) -> set:
+    leaves = jax.tree_util.tree_flatten_with_path(tree)[0]
+    return {jax.tree_util.keystr(p) for p, _ in leaves}
 
 
 class CheckpointManager:
@@ -37,8 +53,32 @@ class CheckpointManager:
                 step: Optional[int] = None) -> Tuple[TrainState, dict]:
         step = step if step is not None else self.latest_step()
         assert step is not None, "no checkpoint found"
-        payload = self._mgr.restore(
-            step, args=ocp.args.StandardRestore({"state": template_state}))
+        try:
+            payload = self._mgr.restore(
+                step, args=ocp.args.StandardRestore({"state": template_state}))
+        except Exception as e:  # diagnose layout drift before re-raising
+            try:
+                saved = _keypaths(self._mgr.restore(step))
+            except Exception:
+                raise e
+            want = _keypaths({"state": template_state})
+            missing = sorted(want - saved)[:8]
+            extra = sorted(saved - want)[:8]
+            if not missing and not extra:
+                raise e
+            opt_hint = any(".opt_g" in k or ".opt_d" in k
+                           for k in missing + extra)
+            raise CheckpointLayoutError(
+                f"checkpoint at step {step} in {self.ckpt_dir} has a stale "
+                f"pytree layout: {len(missing)} paths expected by the "
+                f"current TrainState are absent (first: {missing}), "
+                f"{len(extra)} saved paths are no longer expected "
+                f"(first: {extra})."
+                + (" The differing paths are in the OPTIMIZER state — this "
+                   "checkpoint predates an optimizer layout change (e.g. the "
+                   "optax.adam -> torch_adam per-leaf-count switch); delete "
+                   "the stale checkpoint directory or restart training from "
+                   "scratch." if opt_hint else "")) from e
         return payload["state"], {}
 
 

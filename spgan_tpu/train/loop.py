@@ -33,6 +33,14 @@ from spgan_tpu.train.state import TrainState, create_train_state
 from spgan_tpu.train.step import make_train_step
 
 
+def crossed_tick(it: int, adv: int, n: int) -> bool:
+    """Boundary-crossing tick: with steps_per_call > 1 the loop advances by
+    `adv` iterations per device call, so exact-modulo ticks (`it % n == 0`)
+    can be skipped permanently when adv does not divide n.  Fires once
+    whenever the half-open span (it-adv, it] straddles a multiple of n."""
+    return (it // n) > ((it - adv) // n)
+
+
 def _to_grid(imgs: np.ndarray, ncol: int = 8) -> np.ndarray:
     """(B,H,W,3) in [-1,1] -> one (H*r, W*ncol, 3) uint8 grid."""
     b, h, w, c = imgs.shape
@@ -227,8 +235,13 @@ def train(cfg: Config, debug: bool = False, seed: int = 0,
     if best_path is not None and os.path.exists(best_path):
         import json
 
-        with open(best_path) as f:
-            _b = json.load(f)
+        try:
+            with open(best_path) as f:
+                _b = json.load(f)
+        except (json.JSONDecodeError, OSError):
+            # a kill mid-write may leave a truncated file; resume with
+            # defaults rather than crashing the restart
+            _b = {}
         best_fid = _b.get("best_fid", best_fid)
         best_ext2_fid = _b.get("best_ext2_fid", best_ext2_fid)
         best_ext2_fid_later = _b.get("best_ext2_fid_later",
@@ -237,9 +250,11 @@ def train(cfg: Config, debug: bool = False, seed: int = 0,
     def _write_best():
         import json
 
-        with open(best_path, "w") as f:
+        tmp = best_path + ".tmp"
+        with open(tmp, "w") as f:
             json.dump({"best_fid": best_fid, "best_ext2_fid": best_ext2_fid,
                        "best_ext2_fid_later": best_ext2_fid_later}, f)
+        os.replace(tmp, best_path)  # atomic — survives a kill mid-write
 
     # TB event files are partitioned into chunks for efficient rsync of
     # long runs (reference train.py:35,724-726: TB_PARTITION_STEPS=100000
@@ -294,6 +309,7 @@ def train(cfg: Config, debug: bool = False, seed: int = 0,
                                               do_ppl=ppls)
                 had_r1, had_ppl = any(r1s), any(ppls)
                 it += k
+                adv = k
             else:
                 batch = next(pipeline)
                 real_patch = shard_batch(jnp.asarray(batch["patch"]), mesh)
@@ -305,6 +321,11 @@ def train(cfg: Config, debug: bool = False, seed: int = 0,
                                          do_r1=do_r1, do_ppl=do_ppl)
                 had_r1, had_ppl = do_r1, do_ppl
                 it += 1
+                adv = 1
+
+            def tick(n):
+                return crossed_tick(it, adv, n)
+
             if (prof_on
                     and it - start_iter >= profile_start + profile_iters):
                 # close the window right after the traced step — BEFORE the
@@ -328,7 +349,7 @@ def train(cfg: Config, debug: bool = False, seed: int = 0,
                       {k: round(float(v), 4) for k, v in metrics.items()})
                 break
 
-            if it % lp.log_tick == 0 and writer is not None:
+            if tick(lp.log_tick) and writer is not None:
                 for k, v in {**metrics, **reg_carry}.items():
                     writer.add_scalar(f"losses/{k}", float(v), it)
                 now = time.time()
@@ -359,7 +380,7 @@ def train(cfg: Config, debug: bool = False, seed: int = 0,
                 except Exception:
                     pass
 
-            if it % lp.img_tick == 0 and writer is not None:
+            if tick(lp.img_tick) and writer is not None:
                 imgs = np.asarray(vis_forward(state.params_g_ema,
                                               jax.random.fold_in(kvis, it)))
                 writer.add_image("samples/ema", _to_grid(imgs), it,
@@ -380,10 +401,10 @@ def train(cfg: Config, debug: bool = False, seed: int = 0,
                                  _to_grid(np.asarray(td)), it,
                                  dataformats="HWC")
 
-            if it % lp.save_tick == 0 and it > 0 and ckpt_mgr is not None:
+            if tick(lp.save_tick) and ckpt_mgr is not None:
                 ckpt_mgr.save(it, jax.device_get(state))
 
-            if (fid_eval is not None and it % lp.eval_tick == 0 and it > 0):
+            if fid_eval is not None and tick(lp.eval_tick):
                 fid = fid_eval(state.params_g_ema,
                                jax.random.fold_in(base_key, it))
                 if writer is not None:
@@ -396,8 +417,7 @@ def train(cfg: Config, debug: bool = False, seed: int = 0,
                               jax.device_get(state))
                     _write_best()
 
-            if (fid_ext2_eval is not None and it % lp.fid_ext2_tick == 0
-                    and it > 0):
+            if fid_ext2_eval is not None and tick(lp.fid_ext2_tick):
                 fid2 = fid_ext2_eval(state.params_g_ema,
                                      jax.random.fold_in(base_key, it + 1))
                 if writer is not None:
@@ -420,7 +440,7 @@ def train(cfg: Config, debug: bool = False, seed: int = 0,
                         _write_best()
 
             if (writer is not None and it > start_iter
-                    and it % TB_PARTITION_STEPS == 0):
+                    and tick(TB_PARTITION_STEPS)):
                 writer.close()
                 from tensorboardX import SummaryWriter
 

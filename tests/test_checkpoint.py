@@ -51,3 +51,64 @@ def test_ema_update_direction():
     e = ema_update(p0, p1)
     # accum = 0.5 ** (32/10000) ~ 0.99778 -> small move toward params
     assert 0.0021 < float(e["w"][0]) < 0.0023
+
+
+def test_stale_layout_restore_names_optimizer(tmp_path):
+    """A checkpoint saved with an older optimizer state layout must fail
+    with CheckpointLayoutError naming the optimizer change, not a raw
+    Orbax tree error (VERDICT r4 next-round #9; the round-4 optax.adam ->
+    torch_adam switch silently invalidated old checkpoints)."""
+    import dataclasses
+
+    import pytest
+
+    from spgan_tpu.train.checkpoint import CheckpointLayoutError
+    from spgan_tpu.train.state import TrainState
+
+    cfg = Config()
+    tp = cfg.train_params
+    tp.global_latent_dim = 16
+    tp.local_latent_dim = 8
+    tp.channel_multiplier = 1
+    tp.n_mlp = 1
+    tp.ss_n_layers = 1
+    g = Generator.from_config(cfg)
+    object.__setattr__(g.ts, "channel_base", 16)
+    d = Discriminator(patch_size=101, channel_multiplier=1, batch_size=4,
+                      linear_ch=16)
+    small = {k: 16 for k in (4, 8, 16, 32, 64, 128, 256, 512, 1024, 2048)}
+    object.__setattr__(d, "channels", lambda: small)
+
+    state = create_train_state(cfg, g, d, jax.random.PRNGKey(0))
+    # simulate the PRE-torch-Adam layout: optax.adam's ScaleByAdamState
+    # (shared count + mu/nu trees) instead of per-leaf TorchAdamState
+    import optax
+
+    old_opt_g = optax.adam(1e-3).init(jax.device_get(state.params_g))
+    stale = dataclasses.replace(jax.device_get(state), opt_g=old_opt_g)
+
+    mgr = CheckpointManager(str(tmp_path / "ckpt"), max_to_keep=2)
+    mgr.save(1000, stale)
+
+    template = create_train_state(cfg, g, d, jax.random.PRNGKey(1))
+    with pytest.raises(CheckpointLayoutError, match="OPTIMIZER"):
+        mgr.restore(template)
+
+
+def test_crossed_tick_fires_on_boundary_crossing():
+    from spgan_tpu.train.loop import crossed_tick
+
+    # k=1 degenerates to exact modulo
+    fired = [it for it in range(1, 21) if crossed_tick(it, 1, 5)]
+    assert fired == [5, 10, 15, 20]
+    # k=3 with n=5: exact-modulo would fire only at 15 in 20 iters;
+    # crossing fires once per boundary regardless of alignment
+    its = []
+    it = 0
+    while it < 20:
+        it += 3
+        if crossed_tick(it, 3, 5):
+            its.append(it)
+    assert its == [6, 12, 15, 21]  # boundaries 5,10,15,20 each hit once
+    # a single call spanning several boundaries still fires (once)
+    assert crossed_tick(100, 50, 10)
