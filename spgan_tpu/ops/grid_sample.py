@@ -95,6 +95,31 @@ def bilinear_grid_sample_shared(x: jnp.ndarray, grid: jnp.ndarray
     return top * (1 - wy) + bot * wy
 
 
+def nearest_grid_sample_shared(x: jnp.ndarray, grid: jnp.ndarray
+                               ) -> jnp.ndarray:
+    """Nearest-neighbor sampling, grid shared across the batch
+    (x (B,H,W,C), grid (Ho,Wo,2) in [-1,1]) — align_corners=True,
+    padding_mode='zeros'.
+
+    Parity target: the reference's plain ``GridSampler`` forward
+    (grid_sample_grad_fix.py:29-32: F.grid_sample(mode='nearest',
+    padding_mode='zeros', align_corners=True)), used by the global-grid
+    sphere convs (sphere_conv2d.py:30,87).  torch rounds half-to-even
+    (std::nearbyint) — so does jnp.round."""
+    b, h, w, c = x.shape
+    gx = (grid[..., 0] + 1.0) * 0.5 * (w - 1)
+    gy = (grid[..., 1] + 1.0) * 0.5 * (h - 1)
+    xi = jnp.round(gx).astype(jnp.int32)
+    yi = jnp.round(gy).astype(jnp.int32)
+    inb = ((xi >= 0) & (xi <= w - 1) & (yi >= 0) & (yi <= h - 1))
+    xi = jnp.clip(xi, 0, w - 1)
+    yi = jnp.clip(yi, 0, h - 1)
+    flat = x.reshape(b, h * w, c)
+    idx = (yi * w + xi).reshape(-1)
+    v = jnp.take(flat, idx, axis=1).reshape(b, *yi.shape, c)
+    return v * inb.astype(x.dtype)[None, ..., None]
+
+
 def tap_conv_tables(z: jnp.ndarray, tables: dict, w9: jnp.ndarray,
                     margin: int = 6, groups: int = 0) -> jnp.ndarray:
     """Fused sphere resample + stride-k conv from row-offset tables, in pure

@@ -121,6 +121,85 @@ def test_global_sphere_conv():
     assert np.isfinite(np.asarray(y)).all()
 
 
+def test_incre_interval_sphere_conv_shapes():
+    from spgan_tpu.geometry.global_conv import IncreIntervalSphereConv2d
+
+    # stride 1: borders shrink by k//2 per side; stride 2: halves
+    for stride, (ho, wo) in [(1, (14, 30)), (2, (8, 16))]:
+        spec = IncreIntervalSphereConv2d(in_ch=8, out_ch=4, kernel_size=3,
+                                         stride=stride)
+        params = spec.init(jax.random.PRNGKey(0))
+        x = jax.random.normal(jax.random.PRNGKey(1), (2, 16, 32, 8))
+        y = spec.apply(params, x)
+        assert y.shape == (2, ho, wo, 4), (stride, y.shape)
+        assert np.isfinite(np.asarray(y)).all()
+    # upsample=True grows the map (IncreIntervalGridGenerator upsample arm)
+    spec = IncreIntervalSphereConv2d(in_ch=8, out_ch=4, kernel_size=3,
+                                     stride=1, upsample=True)
+    y = spec.apply(spec.init(jax.random.PRNGKey(0)),
+                   jax.random.normal(jax.random.PRNGKey(1), (1, 16, 32, 8)))
+    assert y.shape[1] > 16 and y.shape[2] > 32
+
+
+def _ref_spherenet():
+    """Import the reference spherenet package (torch CPU), or skip."""
+    import os
+    import sys
+    import types
+
+    if not os.path.exists("/root/reference"):
+        pytest.skip("reference repo not mounted")
+    if "pkg_resources" not in sys.modules:
+        try:
+            import pkg_resources  # noqa: F401
+        except ImportError:  # setuptools>=81 removed it
+            from packaging.version import parse as _pv
+
+            pr = types.ModuleType("pkg_resources")
+            pr.parse_version = _pv
+            sys.modules["pkg_resources"] = pr
+    if "/root/reference" not in sys.path:
+        sys.path.insert(0, "/root/reference")
+    import models.spherenet.sphere_conv2d as sc
+    return sc
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("which,stride", [("global", 1), ("global", 2),
+                                          ("incre", 1), ("incre", 2)])
+def test_global_conv_torch_oracle(which, stride):
+    """Numeric parity of the global-grid sphere convs vs the actual
+    reference modules (sphere_conv2d.py:16-67 SphereConv2d, :70-121
+    IncreIntervalSphereConv2d) with shared weights."""
+    import torch
+
+    from spgan_tpu.geometry.global_conv import (GlobalSphereConv2d,
+                                                IncreIntervalSphereConv2d)
+
+    sc = _ref_spherenet()
+    cls_jax = GlobalSphereConv2d if which == "global" else \
+        IncreIntervalSphereConv2d
+    cls_ref = sc.SphereConv2d if which == "global" else \
+        sc.IncreIntervalSphereConv2d
+
+    spec = cls_jax(in_ch=6, out_ch=5, kernel_size=3, stride=stride)
+    params = spec.init(jax.random.PRNGKey(0))
+
+    ref = cls_ref(6, 5, kernel_size=(3, 3), stride=stride, scale=spec.scale)
+    with torch.no_grad():
+        ref.weight.copy_(torch.from_numpy(  # HWIO -> OIHW
+            np.asarray(params["weight"]).transpose(3, 2, 0, 1)))
+        ref.bias.copy_(torch.from_numpy(np.asarray(params["bias"])))
+
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 16, 32, 6))
+    got = np.asarray(spec.apply(params, x))
+    with torch.no_grad():
+        want = ref(torch.from_numpy(
+            np.asarray(x).transpose(0, 3, 1, 2))).numpy().transpose(0, 2, 3, 1)
+    assert got.shape == want.shape, (got.shape, want.shape)
+    np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-4)
+
+
 def test_get_to_rgb_debug_variant(gen_setup):
     cfg, g, params = gen_setup
     gl, ll, coords, ac, cp, kn = _sample_inputs(cfg, g)
