@@ -30,6 +30,99 @@ from spgan_tpu.infer.stitcher import LatticePlan
 from spgan_tpu.models.generator import Generator
 
 
+def render_chunk(g: Generator, params, styles, gz, ss_maps,
+                 z_pad, coords_pad, noises_pad, zs, ns, cps, *,
+                 batch: int, chunk: int, win: int, out_sizes, x_total: int,
+                 y_total: int, grid_partial: float, cdt,
+                 use_pallas: bool, skip_sizes, use_skip_tables: bool,
+                 skip_margins) -> jnp.ndarray:
+    """Render `chunk` lattice positions x `batch` panoramas in ONE folded
+    generator call — the shared hot body of the single-device engine, the
+    lattice-sharded engine, and the width-sharded halo path (infer/halo.py).
+
+    zs (chunk,2) / ns [per-layer (chunk,2)] are start indices into the
+    (pre-padded or halo-extended) z/coords/noise fields; cps (chunk,5) are
+    the CoordsPartial scalars for each position.  Sphere grids / row-offset
+    tap tables are evaluated in-graph from cps (one per position, shared by
+    the folded batch).  Returns (chunk, batch, patch, patch, 3) in `cdt`.
+    """
+    B = batch
+
+    def slice_z(start):
+        r, c = start[0], start[1]
+        zw = jax.lax.dynamic_slice(
+            z_pad, (0, r, c, 0), (B, win, win, g.ts.local_dim))
+        cw = jax.lax.dynamic_slice(
+            coords_pad, (r, c, 0), (win, win, coords_pad.shape[-1]))
+        return zw, cw
+
+    zw, cw = jax.vmap(slice_z)(zs)               # (chunk,B,..), (chunk,..)
+    zw = zw.reshape(chunk * B, win, win, -1).astype(cdt)
+    cw = jnp.repeat(cw, B, axis=0)               # (chunk*B, win, win, 3)
+
+    layer_noises = []
+    for li, sz in enumerate(out_sizes):
+        def slice_n(start, n=noises_pad[li], s=sz):
+            return jax.lax.dynamic_slice(
+                n, (0, start[0], start[1], 0), (B, s, s, 1))
+        nw = jax.vmap(slice_n)(ns[li])
+        layer_noises.append(nw.reshape(chunk * B, sz, sz, 1).astype(cdt))
+
+    # one CoordsPartial / sphere grid per lattice position, shared by
+    # all B panoramas (batch-shared gathers in the samplers)
+    cp = CoordsPartial(
+        p_x_st=cps[:, 0], p_x_ed=cps[:, 1],
+        p_y_st=cps[:, 2], p_y_ed=cps[:, 3], circular=cps[:, 4],
+        x_total=x_total, y_total=y_total,
+        grid_partial=grid_partial, test_flag=True)
+    from spgan_tpu.geometry.sphere_grid import (
+        sphere_offset_tables, sphere_patch_grid_batch)
+
+    ss_sizes = g.ss.layer_sizes(win)
+    ss_grids = [sphere_patch_grid_batch(cp, s, s) for s in ss_sizes]
+    tables_list = None
+    if use_pallas:
+        def tab(sz):
+            fn = lambda a, b2, c2, d, e: sphere_offset_tables(
+                a, b2, c2, d, e, grid_partial, h=sz, w=sz, k=3,
+                x_total=x_total, y_total=y_total)
+            # one table per lattice position, shared by the B folded
+            # panoramas at that position (tables_groups)
+            return jax.vmap(fn)(cp.p_x_st, cp.p_x_ed, cp.p_y_st,
+                                cp.p_y_ed, cp.circular)
+
+        tables_list = [tab(s) for s in ss_sizes]
+    skip_grids = None
+    skip_tables = None
+    if use_skip_tables:
+        from spgan_tpu.geometry.sphere_grid import sphere_offset_tables_batch
+
+        skip_tables = [sphere_offset_tables_batch(cp, s, s)
+                       for s in skip_sizes]
+    else:
+        skip_grids = [sphere_patch_grid_batch(cp, s, s) for s in skip_sizes]
+
+    gz_t = jnp.tile(gz, (chunk, 1)).astype(cdt)
+    styles_t = jnp.tile(styles, (chunk, 1, 1)).astype(cdt)
+
+    ss_noises = None
+    if ss_maps:
+        # same map at every position: tile matches the chunk-major fold
+        # order of zw
+        ss_noises = [jnp.tile(m, (chunk, 1, 1, 1)).astype(cdt)
+                     for m in ss_maps]
+    structure = g.ss.apply(params["ss"], gz_t, zw, cw, cp,
+                           grids=ss_grids, grid_groups=chunk,
+                           tables_list=tables_list, tables_groups=chunk,
+                           noises=ss_noises)
+    img = g.ts.synthesize(params["ts"], structure, styles_t, cp,
+                          noises=layer_noises, skip_grids=skip_grids,
+                          grid_groups=chunk, skip_tables=skip_tables,
+                          skip_margins=skip_margins, tables_groups=chunk)
+    patch_sz = out_sizes[-1]
+    return img.reshape(chunk, B, patch_sz, patch_sz, 3)
+
+
 @dataclass
 class PanoramaEngine:
     g: Generator
@@ -197,86 +290,15 @@ class PanoramaEngine:
 
         def gen_chunk(args):
             zs, ns, cps = args  # (chunk,2), [per-layer (chunk,2)], (chunk,5)
-
-            def slice_z(start):
-                r, c = start[0], start[1]
-                zw = jax.lax.dynamic_slice(
-                    z_pad, (0, r, c, 0),
-                    (B, win, win, g.ts.local_dim))
-                cw = jax.lax.dynamic_slice(
-                    coords_pad, (r, c, 0), (win, win, coords_pad.shape[-1]))
-                return zw, cw
-
-            zw, cw = jax.vmap(slice_z)(zs)           # (chunk,B,..), (chunk,..)
-            zw = zw.reshape(chunk * B, win, win, -1).astype(cdt)
-            cw = jnp.repeat(cw, B, axis=0)            # (chunk*B, win, win, 3)
-
-            layer_noises = []
-            for li, sz in enumerate(out_sizes):
-                def slice_n(start, n=noises_pad[li], s=sz):
-                    return jax.lax.dynamic_slice(
-                        n, (0, start[0], start[1], 0), (B, s, s, 1))
-                nw = jax.vmap(functools.partial(slice_n))(ns[li])
-                layer_noises.append(
-                    nw.reshape(chunk * B, sz, sz, 1).astype(cdt))
-
-            # one CoordsPartial / sphere grid per lattice position, shared by
-            # all B panoramas (batch-shared gathers in the samplers)
-            cp = CoordsPartial(
-                p_x_st=cps[:, 0], p_x_ed=cps[:, 1],
-                p_y_st=cps[:, 2], p_y_ed=cps[:, 3], circular=cps[:, 4],
-                x_total=plan.x_total, y_total=plan.y_total,
-                grid_partial=self.grid_partial, test_flag=True)
-            from spgan_tpu.geometry.sphere_grid import (
-                sphere_offset_tables, sphere_patch_grid_batch)
-
-            ss_sizes = g.ss.layer_sizes(win)
-            ss_grids = [sphere_patch_grid_batch(cp, s, s) for s in ss_sizes]
-            tables_list = None
-            if self.use_pallas:
-                def tab(sz):
-                    fn = lambda a, b2, c2, d, e: sphere_offset_tables(
-                        a, b2, c2, d, e, self.grid_partial, h=sz, w=sz, k=3,
-                        x_total=plan.x_total, y_total=plan.y_total)
-                    # one table per lattice position, shared by the B
-                    # folded panoramas at that position (tables_groups)
-                    return jax.vmap(fn)(cp.p_x_st, cp.p_x_ed, cp.p_y_st,
-                                        cp.p_y_ed, cp.circular)
-
-                tables_list = [tab(s) for s in ss_sizes]
-            skip_grids = None
-            skip_tables = None
-            if self.use_skip_tables:
-                from spgan_tpu.geometry.sphere_grid import (
-                    sphere_offset_tables_batch)
-
-                skip_tables = [sphere_offset_tables_batch(cp, s, s)
-                               for s in self._skip_sizes]
-            else:
-                skip_grids = [sphere_patch_grid_batch(cp, s, s)
-                              for s in self._skip_sizes]
-
-            gz_t = jnp.tile(gz, (chunk, 1)).astype(cdt)
-            styles_t = jnp.tile(styles, (chunk, 1, 1)).astype(cdt)
-
-            ss_noises = None
-            if ss_maps:
-                # same map at every position: tile matches the chunk-major
-                # fold order of zw
-                ss_noises = [jnp.tile(m, (chunk, 1, 1, 1)).astype(cdt)
-                             for m in ss_maps]
-            structure = g.ss.apply(params["ss"], gz_t, zw, cw, cp,
-                                   grids=ss_grids, grid_groups=chunk,
-                                   tables_list=tables_list,
-                                   tables_groups=chunk,
-                                   noises=ss_noises)
-            img = g.ts.synthesize(params["ts"], structure, styles_t, cp,
-                                  noises=layer_noises, skip_grids=skip_grids,
-                                  grid_groups=chunk,
-                                  skip_tables=skip_tables,
-                                  skip_margins=self._skip_margins,
-                                  tables_groups=chunk)
-            return img.reshape(chunk, B, patch_sz, patch_sz, 3)
+            return render_chunk(
+                g, params, styles, gz, ss_maps, z_pad, coords_pad,
+                noises_pad, zs, ns, cps, batch=B, chunk=chunk, win=win,
+                out_sizes=out_sizes, x_total=plan.x_total,
+                y_total=plan.y_total, grid_partial=self.grid_partial,
+                cdt=cdt, use_pallas=self.use_pallas,
+                skip_sizes=self._skip_sizes,
+                use_skip_tables=self.use_skip_tables,
+                skip_margins=self._skip_margins)
 
         patches = jax.lax.map(gen_chunk, (z_starts, n_starts, cp_all))
         patches = patches.reshape(-1, B, patch_sz, patch_sz, 3)

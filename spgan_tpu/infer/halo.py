@@ -41,8 +41,25 @@ from spgan_tpu.models.generator import Generator
 def generate_width_sharded(g: Generator, params, plan: LatticePlan,
                            mesh: Mesh, key: jax.Array, batch: int,
                            grid_partial: float, axis: str = "data",
-                           compute_dtype: str = "float32") -> np.ndarray:
-    """Returns the meta image (B, meta_h, meta_w, 3) as numpy."""
+                           compute_dtype: str = "float32",
+                           col_chunk: int = 1,
+                           use_pallas: bool | None = None,
+                           use_skip_tables: bool | None = None) -> np.ndarray:
+    """Returns the meta image (B, meta_h, meta_w, 3) as numpy.
+
+    Rendering goes through the engine's shared folded body
+    (engine.render_chunk): each render call computes `col_chunk` lattice
+    columns x num_steps_h rows x batch panoramas at once, with the same
+    Pallas sphere kernel / TS tap-table fast paths as the single-device
+    engine (defaults follow the backend, like PanoramaEngine).
+
+    Bit-identity across device counts: render groups are whole global
+    columns aligned to multiples of `col_chunk`, and device boundaries are
+    multiples of cols_per_dev — so as long as `col_chunk` divides
+    cols_per_dev in every run being compared (always true for the default
+    1), every position is rendered by an identical program on identical
+    inputs regardless of the mesh size.
+    """
     assert plan.close_loop, "width sharding targets closed-loop panoramas"
     ndev = int(mesh.devices.size)
     zx = plan.geom.latentspace_step
@@ -80,6 +97,13 @@ def generate_width_sharded(g: Generator, params, plan: LatticePlan,
             f"{cols_per_dev * _ostep}; use a wider panorama or fewer devices")
     patch_sz = out_sizes[-1]
     cdt = jnp.bfloat16 if compute_dtype == "bfloat16" else jnp.float32
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    if use_skip_tables is None:
+        use_skip_tables = bool(use_pallas)
+    assert cols_per_dev % col_chunk == 0, (
+        f"col_chunk {col_chunk} must divide cols_per_dev {cols_per_dev} "
+        f"(and divide it in every run being compared for bit-identity)")
 
     # ---- fields (globally sampled, then sharded by width) -------------
     kg, kz, kn = jax.random.split(key, 3)
@@ -111,11 +135,72 @@ def generate_width_sharded(g: Generator, params, plan: LatticePlan,
     coords_field = jax.device_put(coords_field,
                                   NamedSharding(mesh, P(None, axis)))
 
-    ss_sizes = g.ss.layer_sizes(win)
     _, _, i2j = g.ts.plan()
     skip_sizes = [out_sizes[src - 2] for src in sorted(i2j)]
 
-    def body(params, gl, z_local, coords_local, *noises_local):
+    # ---- static per-position metadata (host-side) ----------------------
+    # cp scalars for every global column, device-major / column-major /
+    # row-minor — the same test-mode algebra the old in-graph computation
+    # used (x parts in f64-then-f32 like the engine's stitcher, y parts in
+    # f32 like the traced zy_st path); padded columns (jg >= nw) normalize
+    # to their base column's cp by the mod-wrap rule.
+    chunk = col_chunk * nh
+    n_chunks = cols_per_dev // col_chunk
+    yt32 = np.float32(plan.y_total)
+    cps_host = np.zeros((ndev, n_chunks, chunk, 5), np.float32)
+    for jg in range(nw_pad):
+        dev, jl = divmod(jg, cols_per_dev)
+        q, jc = divmod(jl, col_chunk)
+        zy_raw = jg * zx
+        circ = np.float32(zy_raw + win > plan.y_total
+                          and zy_raw < plan.y_total)
+        zy = np.float32(zy_raw % plan.y_total if zy_raw >= plan.y_total
+                        else zy_raw)
+        p_y_st = zy / yt32
+        p_y_ed = (zy + np.float32(win + 1)) / yt32
+        for i in range(nh):
+            zr = i * zx
+            cps_host[dev, q, jc * nh + i] = (
+                np.float32(zr / plan.x_total),
+                np.float32((zr + win + 1) / plan.x_total),
+                p_y_st, p_y_ed, circ)
+    cps_sharded = jax.device_put(
+        jnp.asarray(cps_host.reshape(ndev * n_chunks, chunk, 5)),
+        NamedSharding(mesh, P(axis)))
+
+    # local slice starts: identical on every device (column-major fold)
+    zs_host = np.zeros((n_chunks, chunk, 2), np.int32)
+    ns_host = [np.zeros((n_chunks, chunk, 2), np.int32) for _ in out_steps]
+    for q in range(n_chunks):
+        for jc in range(col_chunk):
+            jl = q * col_chunk + jc
+            for i in range(nh):
+                zs_host[q, jc * nh + i] = (i * zx, jl * zx)
+                for li, ostep in enumerate(out_steps):
+                    ns_host[li][q, jc * nh + i] = (i * ostep, jl * ostep)
+
+    # exact tap-table shift margins from the full static cp set (the same
+    # plan-time derivation as PanoramaEngine.__post_init__)
+    skip_margins = None
+    if use_skip_tables:
+        from spgan_tpu.geometry.sphere_grid import sphere_offset_tables_batch
+
+        flat = cps_host.reshape(-1, 5)
+        cp_all = CoordsPartial(
+            p_x_st=jnp.asarray(flat[:, 0]), p_x_ed=jnp.asarray(flat[:, 1]),
+            p_y_st=jnp.asarray(flat[:, 2]), p_y_ed=jnp.asarray(flat[:, 3]),
+            circular=jnp.asarray(flat[:, 4]),
+            x_total=plan.x_total, y_total=plan.y_total,
+            grid_partial=grid_partial, test_flag=True)
+        skip_margins = []
+        for s in skip_sizes:
+            t = sphere_offset_tables_batch(cp_all, s, s)
+            mx = int(np.abs(np.asarray(t["sx"])).max())
+            skip_margins.append(max(6, mx + 1))
+
+    from spgan_tpu.infer.engine import render_chunk
+
+    def body(params, gl, z_local, coords_local, cps_local, *noises_local):
         """Per-device: halo-exchange, render this shard's lattice columns."""
         dev = jax.lax.axis_index(axis)
         right = functools.partial(
@@ -144,60 +229,22 @@ def generate_width_sharded(g: Generator, params, plan: LatticePlan,
 
         styles = g.build_styles(params, gl, None)
         gz = gl[:, 0]
+        zs_arr = jnp.asarray(zs_host)
+        ns_arr = [jnp.asarray(a) for a in ns_host]
 
-        def gen_one(pos, _):
-            i = pos // cols_per_dev
-            jl = pos % cols_per_dev
-            zr = i * zx
-            zc = jl * zx
-            zw = jax.lax.dynamic_slice(
-                z_ext, (0, zr, zc, 0), (batch, win, win, g.ts.local_dim))
-            cw = jax.lax.dynamic_slice(
-                c_ext, (zr, zc, 0), (win, win, c_ext.shape[-1]))
-            cw = jnp.broadcast_to(cw[None], (batch,) + cw.shape)
-            lns = []
-            for n, osz, ostep in zip(n_ext, out_sizes, out_steps):
-                lns.append(jax.lax.dynamic_slice(
-                    n, (0, i * ostep, jl * ostep, 0), (batch, osz, osz, 1)))
+        def gen_chunk(args):
+            zs, ns, cpc = args
+            return render_chunk(
+                g, params, styles, gz, None, z_ext, c_ext, n_ext,
+                zs, ns, cpc, batch=batch, chunk=chunk, win=win,
+                out_sizes=out_sizes, x_total=plan.x_total,
+                y_total=plan.y_total, grid_partial=grid_partial, cdt=cdt,
+                use_pallas=use_pallas, skip_sizes=skip_sizes,
+                use_skip_tables=use_skip_tables, skip_margins=skip_margins)
 
-            # coords_partial from the GLOBAL column index
-            jg = dev * cols_per_dev + jl
-            zy_st_raw = jg * zx
-            zy_ed = zy_st_raw + win
-            circ = jnp.logical_and(zy_ed > plan.y_total,
-                                   zy_st_raw < plan.y_total)
-            zy_st = jnp.where(
-                jnp.logical_and(zy_ed > plan.y_total,
-                                zy_st_raw >= plan.y_total),
-                zy_st_raw % plan.y_total, zy_st_raw).astype(jnp.float32)
-            size1 = win + 1
-            ones = jnp.ones((batch,), jnp.float32)
-            cp = CoordsPartial(
-                p_x_st=ones * (zr / plan.x_total),
-                p_x_ed=ones * ((zr + size1) / plan.x_total),
-                p_y_st=ones * (zy_st / plan.y_total),
-                p_y_ed=ones * ((zy_st + size1) / plan.y_total),
-                circular=ones * circ.astype(jnp.float32),
-                x_total=plan.x_total, y_total=plan.y_total,
-                grid_partial=grid_partial, test_flag=True)
-            from spgan_tpu.geometry.sphere_grid import sphere_patch_grid_batch
-
-            ss_grids = [sphere_patch_grid_batch(cp, s, s)[:1]
-                        for s in ss_sizes]
-            skip_grids = [sphere_patch_grid_batch(cp, s, s)[:1]
-                          for s in skip_sizes]
-            structure = g.ss.apply(params["ss"], gz.astype(cdt),
-                                   zw.astype(cdt), cw.astype(cdt), cp,
-                                   grids=ss_grids, grid_groups=1)
-            img = g.ts.synthesize(params["ts"], structure,
-                                  styles.astype(cdt), cp,
-                                  noises=[n.astype(cdt) for n in lns],
-                                  skip_grids=skip_grids, grid_groups=1)
-            return pos + 1, img.astype(jnp.float32)
-
-        n_local = nh * cols_per_dev
-        _, patches = jax.lax.scan(gen_one, 0, None, length=n_local)
-        return patches  # (n_local, B, P, P, 3)
+        patches = jax.lax.map(gen_chunk, (zs_arr, ns_arr, cps_local))
+        return patches.reshape(n_chunks * chunk, batch, patch_sz,
+                               patch_sz, 3).astype(jnp.float32)
 
     try:
         from jax import shard_map
@@ -206,17 +253,18 @@ def generate_width_sharded(g: Generator, params, plan: LatticePlan,
 
     fn = shard_map(
         body, mesh=mesh,
-        in_specs=(P(), P(), P(None, None, axis), P(None, axis))
+        in_specs=(P(), P(), P(None, None, axis), P(None, axis), P(axis))
         + tuple(P(None, None, axis) for _ in noises),
         out_specs=P(axis))
-    patches = jax.jit(fn)(params, gl, z_field, coords_field, *noises)
-    patches = jax.device_get(patches)  # (nh*nw ordered dev-major)
+    patches = jax.jit(fn)(params, gl, z_field, coords_field, cps_sharded,
+                          *noises)
+    patches = jax.device_get(patches)  # dev-major, column-major, row-minor
 
-    # reorder device-major (dev, i, jl) -> row-major (i, j_global), then
-    # drop the padded wrap columns (duplicates of base columns 0..pad-1)
-    patches = patches.reshape(ndev, nh, cols_per_dev, batch,
+    # reorder (dev, jl, i) -> row-major (i, j_global), then drop the padded
+    # wrap columns (duplicates of base columns 0..pad-1)
+    patches = patches.reshape(ndev, cols_per_dev, nh, batch,
                               patch_sz, patch_sz, 3)
-    patches = patches.transpose(1, 0, 2, 3, 4, 5, 6).reshape(
+    patches = patches.transpose(2, 0, 1, 3, 4, 5, 6).reshape(
         nh, nw_pad, batch, patch_sz, patch_sz, 3)
     patches = patches[:, :nw].reshape(nh * nw, batch,
                                       patch_sz, patch_sz, 3)
