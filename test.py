@@ -73,6 +73,10 @@ def main():
                          "TensorBoard/xprof) of one generation batch — the "
                          "second batch when more than one runs (the first "
                          "pays compilation), else the only one")
+    ap.add_argument("--interactive", action="store_true",
+                    help="line-oriented editing REPL over the TestingVars "
+                         "primitives (reference test.py:136 parses this flag "
+                         "but ships no consumer; see infer/interactive.py)")
     ap.add_argument("--debug", action="store_true")
     args = ap.parse_args()
 
@@ -86,12 +90,8 @@ def main():
     from spgan_tpu.utils.misc import import_func, manually_seed
 
     cfg = load_config(args.model_config, args.test_config)
-    if cfg.task.interactive:
-        raise ValueError(
-            "task.interactive is not a CLI mode here: use the programmatic "
-            "editing API (TestingVars.update_* + manager.regenerate, see "
-            "tests/test_interactive.py) instead of the reference's "
-            "interactive tool.")
+    if args.interactive:
+        cfg.task.interactive = True
     if args.num_gen is not None:
         cfg.task.num_gen = args.num_gen
     if args.override_save_idx is not None:
@@ -141,6 +141,16 @@ def main():
     manager = manager_cls(g=g, params_ema=params_ema, config=cfg,
                           save_root=save_root)
     manager.task_specific_init(seed=seed)
+
+    if cfg.task.interactive:
+        from spgan_tpu.infer.interactive import run_interactive
+
+        assert cfg.task.batch_size == 1, (
+            "interactive editing expects batch_size 1 (reference "
+            "close_loop_infinite_generation.py:340-344)")
+        n = run_interactive(manager, save_root)
+        print(f" [*] interactive session done — {n} image(s) in {save_root}")
+        return
 
     batch = cfg.task.batch_size
     num_gen = 1 if args.debug else cfg.task.num_gen
