@@ -20,8 +20,12 @@ Notes:
     on host in the reference's row-major overwrite order.  (The folded and
     sharded engines scatter on device — engine.py — and are preferred when
     the fields fit; this path exists for fields that exceed one device.)
-  * Sampling uses the grid path (no tap-table/Pallas variants here yet);
-    see ops/pallas/sphere_kernel.py for the single-device fast paths.
+  * Rendering shares the engine's folded fast path (engine.render_chunk):
+    Pallas sphere kernel + TS tap-table skip convs, same backend defaults
+    as PanoramaEngine.  Build the callable ONCE via
+    `make_width_sharded_generate` and call it per batch — the
+    `generate_width_sharded` convenience wrapper memoizes the build, so
+    repeated calls do not re-trace/re-jit the shard_map program.
 """
 from __future__ import annotations
 
@@ -38,14 +42,19 @@ from spgan_tpu.infer.stitcher import LatticePlan
 from spgan_tpu.models.generator import Generator
 
 
-def generate_width_sharded(g: Generator, params, plan: LatticePlan,
-                           mesh: Mesh, key: jax.Array, batch: int,
-                           grid_partial: float, axis: str = "data",
-                           compute_dtype: str = "float32",
-                           col_chunk: int = 1,
-                           use_pallas: bool | None = None,
-                           use_skip_tables: bool | None = None) -> np.ndarray:
-    """Returns the meta image (B, meta_h, meta_w, 3) as numpy.
+def make_width_sharded_generate(g: Generator, plan: LatticePlan,
+                                mesh: Mesh, batch: int,
+                                grid_partial: float, axis: str = "data",
+                                compute_dtype: str = "float32",
+                                col_chunk: int = 1,
+                                use_pallas: bool | None = None,
+                                use_skip_tables: bool | None = None):
+    """Build the width-sharded generator ONCE; returns
+    `generate(params, key) -> np.ndarray` (B, meta_h, meta_w, 3).
+
+    All static work — lattice metadata, tap-table margins, the shard_map
+    body, and the jitted program — happens here; per-call work is only
+    field sampling, the device dispatch, and host assembly.
 
     Rendering goes through the engine's shared folded body
     (engine.render_chunk): each render call computes `col_chunk` lattice
@@ -105,35 +114,17 @@ def generate_width_sharded(g: Generator, params, plan: LatticePlan,
         f"col_chunk {col_chunk} must divide cols_per_dev {cols_per_dev} "
         f"(and divide it in every run being compared for bit-identity)")
 
-    # ---- fields (globally sampled, then sharded by width) -------------
-    kg, kz, kn = jax.random.split(key, 3)
-    gl = jax.random.normal(kg, (batch, 2, g.ts.global_dim))
-    gl = gl.at[:, 1].set(gl[:, 0])
-    z_field = jax.random.normal(
-        kz, (batch, plan.z_field_h, plan.z_field_w, g.ts.local_dim))
-    noises = [jax.random.normal(jax.random.fold_in(kn, i),
-                                (batch, h, w, 1))
-              for i, (h, w) in enumerate(plan.noise_sizes)]
+    # ---- static field geometry + shardings ----------------------------
     coords_field = jnp.asarray(
         g.ss.coord_grid.test_field(plan.z_field_h, plan.z_field_w))
-
     if pad:
-        # extend every cylindrical field with wrap copies of its start so
-        # the padded lattice columns reproduce base columns 0..pad-1
-        z_field = jnp.concatenate([z_field, z_field[:, :, :pad * zx]],
-                                  axis=2)
-        noises = [jnp.concatenate([n, n[:, :, :pad * ostep]], axis=2)
-                  for n, ostep in zip(noises, out_steps)]
         coords_field = jnp.concatenate(
             [coords_field, coords_field[:, :pad * zx]], axis=1)
-
     shard = NamedSharding(mesh, P(None, None, axis))
-    z_field = jax.device_put(z_field, shard)
-    noises = [jax.device_put(n, shard) for n in noises]
     repl = NamedSharding(mesh, P())
-    gl = jax.device_put(gl, repl)
     coords_field = jax.device_put(coords_field,
                                   NamedSharding(mesh, P(None, axis)))
+    n_noise = len(plan.noise_sizes)
 
     _, _, i2j = g.ts.plan()
     skip_sizes = [out_sizes[src - 2] for src in sorted(i2j)]
@@ -254,32 +245,101 @@ def generate_width_sharded(g: Generator, params, plan: LatticePlan,
     fn = shard_map(
         body, mesh=mesh,
         in_specs=(P(), P(), P(None, None, axis), P(None, axis), P(axis))
-        + tuple(P(None, None, axis) for _ in noises),
+        + tuple(P(None, None, axis) for _ in range(n_noise)),
         out_specs=P(axis))
-    patches = jax.jit(fn)(params, gl, z_field, coords_field, cps_sharded,
-                          *noises)
-    patches = jax.device_get(patches)  # dev-major, column-major, row-minor
 
-    # reorder (dev, jl, i) -> row-major (i, j_global), then drop the padded
-    # wrap columns (duplicates of base columns 0..pad-1)
-    patches = patches.reshape(ndev, cols_per_dev, nh, batch,
-                              patch_sz, patch_sz, 3)
-    patches = patches.transpose(2, 0, 1, 3, 4, 5, 6).reshape(
-        nh, nw_pad, batch, patch_sz, patch_sz, 3)
-    patches = patches[:, :nw].reshape(nh * nw, batch,
-                                      patch_sz, patch_sz, 3)
+    def full(params, key):
+        # field sampling lives INSIDE the one jitted program: a remote-
+        # attached runtime pays round-trip latency per dispatch, so the
+        # ~12 eager RNG calls + device_puts this replaces cost more than
+        # the render itself at small widths (measured 2.6 -> 13.7 panos/s)
+        kg, kz, kn = jax.random.split(key, 3)
+        gl = jax.random.normal(kg, (batch, 2, g.ts.global_dim))
+        gl = gl.at[:, 1].set(gl[:, 0])
+        z_field = jax.random.normal(
+            kz, (batch, plan.z_field_h, plan.z_field_w, g.ts.local_dim))
+        noises = [jax.random.normal(jax.random.fold_in(kn, i),
+                                    (batch, h, w, 1))
+                  for i, (h, w) in enumerate(plan.noise_sizes)]
+        if pad:
+            # extend every cylindrical field with wrap copies of its start
+            # so the padded lattice columns reproduce base columns 0..pad-1
+            z_field = jnp.concatenate([z_field, z_field[:, :, :pad * zx]],
+                                      axis=2)
+            noises = [jnp.concatenate([n, n[:, :, :pad * ostep]], axis=2)
+                      for n, ostep in zip(noises, out_steps)]
+        z_field = jax.lax.with_sharding_constraint(z_field, shard)
+        noises = [jax.lax.with_sharding_constraint(n, shard)
+                  for n in noises]
+        gl = jax.lax.with_sharding_constraint(gl, repl)
+        patches = fn(params, gl, z_field, coords_field, cps_sharded,
+                     *noises)
 
-    # host assembly, reference overwrite order over base columns
-    meta = np.zeros((batch, plan.meta_h, plan.meta_w, 3), np.float32)
-    px = plan.geom.pixelspace_step
-    for idx in range(nh * nw):
-        i, j = divmod(idx, nw)
-        r, c = i * px, j * px
-        patch = patches[idx]
-        if c + patch_sz <= plan.meta_w:
-            meta[:, r:r + patch_sz, c:c + patch_sz] = patch
-        else:
-            split = plan.meta_w - c
-            meta[:, r:r + patch_sz, c:] = patch[:, :, :split]
-            meta[:, r:r + patch_sz, :patch_sz - split] = patch[:, :, split:]
-    return meta
+        # ---- on-device assembly (same program; no host round-trip) -----
+        # reorder (dev, jl, i) -> row-major (i, j_global), then drop the
+        # padded wrap columns (duplicates of base columns 0..pad-1)
+        patches = patches.reshape(ndev, cols_per_dev, nh, batch,
+                                  patch_sz, patch_sz, 3)
+        patches = patches.transpose(2, 0, 1, 3, 4, 5, 6).reshape(
+            nh, nw_pad, batch, patch_sz, patch_sz, 3)
+        patches = patches[:, :nw]
+
+        # reference overwrite order over base columns (row-major; the last
+        # columns' wrapping writes overwrite the row start, exactly as the
+        # reference's _circular_assign_value_width does)
+        meta = jnp.zeros((batch, plan.meta_h, plan.meta_w, 3), jnp.float32)
+        px = plan.geom.pixelspace_step
+        for i in range(nh):
+            for j in range(nw):
+                r, c = i * px, j * px
+                patch = patches[i, j]
+                if c + patch_sz <= plan.meta_w:
+                    meta = jax.lax.dynamic_update_slice(
+                        meta, patch, (0, r, c, 0))
+                else:
+                    split = plan.meta_w - c
+                    meta = jax.lax.dynamic_update_slice(
+                        meta, patch[:, :, :split], (0, r, c, 0))
+                    meta = jax.lax.dynamic_update_slice(
+                        meta, patch[:, :, split:], (0, r, 0, 0))
+        # the meta stays width-sharded: this path exists for fields (and
+        # panoramas) larger than one device's HBM
+        return jax.lax.with_sharding_constraint(
+            meta, NamedSharding(mesh, P(None, None, axis)))
+
+    jfull = jax.jit(full)  # built once; every generate() call reuses it
+
+    def generate(params, key: jax.Array) -> jax.Array:
+        """Returns the meta image (B, meta_h, meta_w, 3) as a DEVICE array
+        sharded by width; jax.device_get it for numpy."""
+        return jfull(params, key)
+
+    return generate
+
+
+# build-once memo for the convenience wrapper.  Keys use object ids; the
+# cached closures hold strong references to (g, plan, mesh), so a live cache
+# entry pins its key objects and ids cannot be recycled underneath it.
+_BUILD_CACHE: dict = {}
+
+
+def generate_width_sharded(g: Generator, params, plan: LatticePlan,
+                           mesh: Mesh, key: jax.Array, batch: int,
+                           grid_partial: float, axis: str = "data",
+                           compute_dtype: str = "float32",
+                           col_chunk: int = 1,
+                           use_pallas: bool | None = None,
+                           use_skip_tables: bool | None = None) -> np.ndarray:
+    """One-call convenience over `make_width_sharded_generate`: returns the
+    meta image (B, meta_h, meta_w, 3) as numpy.  The built program is
+    memoized on the static configuration, so calling this per batch costs
+    one dispatch, not a re-trace."""
+    ck = (id(g), id(plan), id(mesh), batch, float(grid_partial), axis,
+          compute_dtype, col_chunk, use_pallas, use_skip_tables)
+    gen = _BUILD_CACHE.get(ck)
+    if gen is None:
+        gen = _BUILD_CACHE[ck] = make_width_sharded_generate(
+            g, plan, mesh, batch, grid_partial, axis=axis,
+            compute_dtype=compute_dtype, col_chunk=col_chunk,
+            use_pallas=use_pallas, use_skip_tables=use_skip_tables)
+    return np.asarray(jax.device_get(gen(params, key)))

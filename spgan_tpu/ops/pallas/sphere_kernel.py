@@ -34,6 +34,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from spgan_tpu.ops.pallas.vma import out_struct
+
 
 def _kernel(y0_ref, y1_ref, wy_ref, sx_ref, fx_ref, x_ref, w_ref, o_ref,
             row_scratch, s_scratch, acc_scratch, *, H, W, M, K2, C, Cout,
@@ -202,7 +204,8 @@ def fused_sphere_conv_grouped(x: jnp.ndarray, tables: dict, w9: jnp.ndarray,
         out_specs=pl.BlockSpec((1, Hb, W, Bg, Cout),
                                lambda g, h: (g, h, 0, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((G, Hpad, W, Bg, Cout), x.dtype),
+        out_shape=out_struct((G, Hpad, W, Bg, Cout), x.dtype, xg, w9,
+                             *tables.values()),
         scratch_shapes=[
             pltpu.VMEM((Wp, Bg, C), jnp.float32),
             pltpu.VMEM((Hb * W, Bg, C), jnp.float32),
@@ -262,7 +265,8 @@ def fused_sphere_conv(x: jnp.ndarray, tables: dict, w9: jnp.ndarray,
         ],
         out_specs=pl.BlockSpec((1, H, W, Cout), lambda b: (b, 0, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, H, W, Cout), x.dtype),
+        out_shape=out_struct((B, H, W, Cout), x.dtype, xpad, w9,
+                             *tables.values()),
         scratch_shapes=[
             # f32 staging: mixed bf16*f32 row math promotes to f32, and
             # Mosaic cannot shape-cast (H,W,C)->(H*W,C) on bf16 tiles

@@ -25,6 +25,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from spgan_tpu.ops.pallas.vma import out_struct
+
 
 def _kernel(y0_ref, y1_ref, wy_ref, sx_ref, fx_ref, x_ref, o_ref,
             row_scratch, *, H, W, M):
@@ -77,7 +79,8 @@ def sphere_sample_taps(x: jnp.ndarray, tables: dict,
         out_specs=pl.BlockSpec((1, 1, H, W, C),
                                lambda b, t: (b, t, 0, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, K2, H, W, C), x.dtype),
+        out_shape=out_struct((B, K2, H, W, C), x.dtype, xpad,
+                             *tables.values()),
         scratch_shapes=[pltpu.VMEM((Wp, 1, C), jnp.float32)],
         interpret=interpret,
     )(tables["y0"], tables["y1"], tables["wy"].astype(jnp.float32),

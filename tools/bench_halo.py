@@ -21,7 +21,7 @@ from spgan_tpu.utils.cache import enable_compilation_cache
 enable_compilation_cache()
 from spgan_tpu.config import Config
 from spgan_tpu.infer.engine import PanoramaEngine
-from spgan_tpu.infer.halo import generate_width_sharded
+from spgan_tpu.infer.halo import make_width_sharded_generate
 from spgan_tpu.infer.stitcher import build_close_loop_plan
 from spgan_tpu.models.generator import Generator
 from spgan_tpu.parallel.mesh import make_mesh
@@ -38,17 +38,17 @@ params = g.init(jax.random.PRNGKey(0))
 plan = build_close_loop_plan(g, 384, width)
 mesh1 = make_mesh(jax.devices()[:1])
 
+halo_gen = make_width_sharded_generate(
+    g, plan, mesh1, BATCH, cfg.train_params.partial,
+    compute_dtype=dt_, col_chunk=col_chunk)
 t0 = time.perf_counter()
-out = generate_width_sharded(g, params, plan, mesh1, jax.random.PRNGKey(1),
-                             batch=BATCH, grid_partial=cfg.train_params.partial,
-                             compute_dtype=dt_, col_chunk=col_chunk)
+out = halo_gen(params, jax.random.PRNGKey(1))
+sync_fetch(out)
 print(f"halo compile+1st: {time.perf_counter() - t0:.1f}s")
 t0 = time.perf_counter()
 for i in range(REPS):
-    out = generate_width_sharded(g, params, plan, mesh1,
-                                 jax.random.PRNGKey(2 + i), batch=BATCH,
-                                 grid_partial=cfg.train_params.partial,
-                                 compute_dtype=dt_, col_chunk=col_chunk)
+    out = halo_gen(params, jax.random.PRNGKey(2 + i))
+sync_fetch(out)
 halo_dt = time.perf_counter() - t0
 halo_rate = REPS * BATCH / halo_dt
 
