@@ -284,10 +284,44 @@ class ModulatedConv2d:
                     y = y * demod[:, None, None, :]
                 y = self._blur()(y)
         else:
-            y = _conv(xs, w, padding=self.padding)
+            y = self._plain_conv_lane_split(xs, w)
             if self.demodulate:
                 y = y * demod[:, None, None, :]
         return y
+
+    def _plain_conv_lane_split(self, xs: jnp.ndarray,
+                               w: jnp.ndarray) -> jnp.ndarray:
+        """Plain conv, with a lane-alignment split for ragged in_ch.
+
+        The SS planar k7 conv takes 259 = 256 features + 3 encoded coords
+        (generator.py StructureSynthesizer.planar_spec); the TPU conv pads
+        the contraction dim to the 128-lane tile, so the single conv does
+        384/259 = 1.48x the useful MXU work (measured 130 TF/s vs 193 for
+        the aligned 512-convs in the same program — exactly the padding
+        ratio). Splitting 256 + 3 into conv + conv doesn't help (the
+        3-channel conv pads right back to 128 lanes); instead the ragged
+        tail becomes im2col patches + one (B*H'*W', rem*k^2) @ (rem*k^2,
+        out) matmul, whose contraction dim rem*k^2 (e.g. 27 at k=3, 147 at
+        k=7) wastes at most one lane tile TOTAL instead of one per tap
+        column.  Exact up to float reassociation (one extra add per output
+        element).  Only fires when in_ch is large and barely over a lane
+        multiple; everything in the shipped models except the SS planar
+        convs is already aligned."""
+        rem = self.in_ch % 128
+        if not (self.in_ch > 128 and 0 < rem <= 16):
+            return _conv(xs, w, padding=self.padding)
+        split = self.in_ch - rem
+        k = self.kernel_size
+        y = _conv(xs[..., :split], w[:, :, :split, :], padding=self.padding)
+        pads = [(self.padding, self.padding)] * 2
+        patches = jax.lax.conv_general_dilated_patches(
+            xs[..., split:], filter_shape=(k, k), window_strides=(1, 1),
+            padding=pads, dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        # patches channel order is input-channel-major, spatial-minor:
+        # (rem, k, k) flattened (lax.conv_general_dilated_patches docstring)
+        w_tail = w[:, :, split:, :].transpose(2, 0, 1, 3).reshape(
+            k * k * rem, self.out_ch)
+        return y + jnp.einsum("bhwk,ko->bhwo", patches, w_tail)
 
 
 @dataclass(frozen=True)

@@ -99,7 +99,11 @@ def _kernel_grouped(y0_ref, y1_ref, wy_ref, sx_ref, fx_ref, x_ref, w_ref,
             s_scratch[pl.ds(r * W, W)] = a * (1.0 - fx) + b * fx
             return 0
 
-        jax.lax.fori_loop(0, Hb, row_body, 0)
+        # static unroll: the row ops are independent (distinct s_scratch
+        # slices), so unrolling lets Mosaic overlap the latency-bound
+        # dynamic row loads instead of serializing Hb loop trips
+        for r in range(Hb):
+            row_body(r, 0)
         # (Hb*W, Bg, C) -> (Hb*W*Bg, C): Bg == the f32 sublane tile (8), so
         # collapsing the untiled leading dims into it is a physical no-op
         st = s_scratch[:].reshape(Hb * W * Bg, C)
